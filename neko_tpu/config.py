@@ -1,0 +1,143 @@
+"""Model / token-space configuration for the NEKO-TPU framework.
+
+The token-space layout mirrors the reference vocabulary contract
+(/root/reference/gato/policy/gato_policy.py:60-76): a single shared vocabulary
+ordered text -> continuous -> discrete.  We additionally reserve one extra
+embedding row for the learned separator token so the packed token-id stream can
+encode every non-patch position (the reference instead keeps a separate
+`separator_token` Parameter and splices its embedding in python,
+gato_policy.py:124,343-345).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+# GPT-2 BPE vocabulary size (reference: AutoTokenizer('gpt2').vocab_size).
+DEFAULT_TEXT_TOKENS = 50257
+
+
+@dataclasses.dataclass(frozen=True)
+class TokenSpace:
+    """Shared multimodal token id layout.
+
+    ids [0, text_tokens)                                -> text BPE
+    ids [text_tokens, text_tokens+continuous_tokens)    -> continuous bins
+    ids [.., +discrete_tokens)                          -> discrete bins
+    id  vocab_size                                      -> separator (embed only)
+    """
+
+    text_tokens: int = DEFAULT_TEXT_TOKENS
+    continuous_tokens: int = 1024
+    discrete_tokens: int = 1024
+
+    @property
+    def vocab_size(self) -> int:
+        return self.text_tokens + self.continuous_tokens + self.discrete_tokens
+
+    @property
+    def separator_id(self) -> int:
+        # One past the predictable vocabulary; has an embedding row but the LM
+        # head never scores it (head output dim == vocab_size).
+        return self.vocab_size
+
+    @property
+    def embed_rows(self) -> int:
+        return self.vocab_size + 1
+
+    @property
+    def continuous_start(self) -> int:
+        return self.text_tokens
+
+    @property
+    def discrete_start(self) -> int:
+        return self.text_tokens + self.continuous_tokens
+
+    def start(self, kind: str) -> int:
+        return {
+            "text": 0,
+            "continuous": self.continuous_start,
+            "discrete": self.discrete_start,
+        }[kind]
+
+    def end(self, kind: str) -> int:
+        """Inclusive end id per modality (reference `token_ends`)."""
+        return {
+            "text": self.text_tokens - 1,
+            "continuous": self.continuous_start + self.continuous_tokens - 1,
+            "discrete": self.discrete_start + self.discrete_tokens - 1,
+        }[kind]
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture hyperparameters (reference: gato_policy.py:19-149)."""
+
+    embed_dim: int = 768
+    layers: int = 8
+    heads: int = 24
+    dropout: float = 0.1
+    activation_fn: str = "gelu"  # 'gelu' or 'geglu'
+
+    # Token space.
+    text_tokens: int = DEFAULT_TEXT_TOKENS
+    continuous_tokens: int = 1024
+    discrete_tokens: int = 1024
+
+    # Context (sequence) length; static shape S of every packed batch.
+    context_len: int = 1024
+
+    # Continuous tokenization (mu-law companding, GATO sec. 2.1).
+    mu: int = 100
+    M: int = 256
+
+    # Image patch embedding.
+    patch_size: int = 16
+    resid_mid_channels: int = 128
+    num_groups: int = 32
+    position_vocab_size: int = 128
+    use_pos_encoding: bool = True          # inner-timestep positions
+    use_patch_pos_encoding: bool = True    # 2-D patch positions
+
+    # Static per-batch patch budget P (packer scatters patch embeddings into
+    # the token stream).  0 disables the image path entirely (pure text /
+    # state-based control) which also removes the conv from the graph.
+    max_patches: int = 0
+
+    # Compute dtypes.  Params are kept fp32; activations in `dtype`.
+    dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+
+    # Attention implementation: 'auto' picks pallas flash attention on TPU
+    # and the XLA reference path elsewhere.
+    attention_impl: str = "auto"
+
+    # Gradient checkpointing (remat) of transformer blocks.
+    remat: bool = False
+
+    @property
+    def token_space(self) -> TokenSpace:
+        return TokenSpace(self.text_tokens, self.continuous_tokens, self.discrete_tokens)
+
+    @property
+    def vocab_size(self) -> int:
+        return self.token_space.vocab_size
+
+    @property
+    def head_dim(self) -> int:
+        assert self.embed_dim % self.heads == 0
+        return self.embed_dim // self.heads
+
+    @property
+    def activation_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def params_dtype(self):
+        return jnp.dtype(self.param_dtype)
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,92 @@
+"""The fixed-shape packed batch schema — the core TPU-native design decision.
+
+The reference tokenizes/embeds/interleaves/pads *inside the model's forward
+pass over a python list of ragged dicts* (gato_policy.py:195-432), which on
+TPU would retrace per shape and serialize host and device work.  Here all
+ragged work happens on the host (see neko_tpu/data/packing.py) and the device
+step consumes one static-shape record:
+
+    tokens      i32[B, S]   unified token ids (separator = vocab_size; image
+                            patch slots and padding = 0)
+    input_mask  bool[B, S]  True for real (non-pad) tokens; sequences are
+                            LEFT-padded, matching gato_policy.py:408-416
+    target_mask bool[B, S]  True where the token is a prediction target
+                            (text + actions; gato_policy.py:276,322,335)
+    inner_pos   i32[B, S]   within-timestep observation position, -1 where no
+                            inner positional embedding applies (separator /
+                            action / pad slots; gato_policy.py:381-385)
+    patches     f32[B, P, ps, ps, 3]  raw image patches (0..255, NHWC)
+    patch_pos   i32[B, P, 4] quantized (h_lo, h_hi, w_lo, w_hi) position
+                            intervals per patch (embeddings.py:80-100)
+    patch_slot  i32[B, P]   index into S where the patch embedding is
+                            scattered; S (out of range) marks an unused slot
+
+Every array has a static shape so one jit-compiled train step serves text,
+control, caption and VQA batches alike.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+
+@flax.struct.dataclass
+class PackedBatch:
+    tokens: jnp.ndarray
+    input_mask: jnp.ndarray
+    target_mask: jnp.ndarray
+    inner_pos: jnp.ndarray
+    patches: Optional[jnp.ndarray] = None
+    patch_pos: Optional[jnp.ndarray] = None
+    patch_slot: Optional[jnp.ndarray] = None
+
+    @property
+    def batch_size(self) -> int:
+        return self.tokens.shape[0]
+
+    @property
+    def seq_len(self) -> int:
+        return self.tokens.shape[1]
+
+    @property
+    def has_patches(self) -> bool:
+        return self.patches is not None and self.patches.shape[1] > 0
+
+
+def empty_batch_np(
+    batch_size: int,
+    seq_len: int,
+    max_patches: int = 0,
+    patch_size: int = 16,
+) -> dict:
+    """Host-side zeroed numpy arrays for the packer to fill in."""
+    out = {
+        "tokens": np.zeros((batch_size, seq_len), dtype=np.int32),
+        "input_mask": np.zeros((batch_size, seq_len), dtype=bool),
+        "target_mask": np.zeros((batch_size, seq_len), dtype=bool),
+        "inner_pos": np.full((batch_size, seq_len), -1, dtype=np.int32),
+    }
+    if max_patches > 0:
+        out["patches"] = np.zeros(
+            (batch_size, max_patches, patch_size, patch_size, 3), dtype=np.float32
+        )
+        out["patch_pos"] = np.zeros((batch_size, max_patches, 4), dtype=np.int32)
+        # slot == seq_len means "unused"; device scatter drops it.
+        out["patch_slot"] = np.full((batch_size, max_patches), seq_len, dtype=np.int32)
+    return out
+
+
+def to_device_batch(arrays: dict) -> PackedBatch:
+    return PackedBatch(
+        tokens=jnp.asarray(arrays["tokens"]),
+        input_mask=jnp.asarray(arrays["input_mask"]),
+        target_mask=jnp.asarray(arrays["target_mask"]),
+        inner_pos=jnp.asarray(arrays["inner_pos"]),
+        patches=jnp.asarray(arrays["patches"]) if "patches" in arrays else None,
+        patch_pos=jnp.asarray(arrays["patch_pos"]) if "patch_pos" in arrays else None,
+        patch_slot=jnp.asarray(arrays["patch_slot"]) if "patch_slot" in arrays else None,
+    )

@@ -1,0 +1,180 @@
+"""NekoModel: the multimodal generalist policy (Gato-style), TPU-native.
+
+Behavioural contract from the reference GatoPolicy
+(/root/reference/gato/policy/gato_policy.py):
+
+* one shared embedding table over text+continuous+discrete ids (+ a learned
+  separator row, see neko_tpu/config.py) — gato_policy.py:94,117,124
+* image patches embedded by ResNetV2 + projection and *scattered* into the
+  token stream (the reference splices them in python; gato_policy.py:282-296)
+* learned inner-timestep position embedding added to observation tokens only
+  (gato_policy.py:149,381-385)
+* untied LM head Linear(embed_dim -> vocab_size, no bias) — gato_policy.py:122
+* masked shifted cross-entropy: loss_mask = input_mask[:, :-1] *
+  target_mask[:, 1:], mean over unmasked targets of the whole batch
+  (gato_policy.py:174-186).  We compute it as masked-sum / mask-count (no
+  boolean indexing — dynamic shapes don't jit) which is numerically the same
+  mean.
+
+Initialization note: the transformer uses GPT-2's N(0, 0.02) init.  The
+reference's top-level modules use torch defaults (embedding N(0,1), LM head
+kaiming-uniform); we follow the transformer's 0.02 scheme everywhere for
+better-conditioned training — init distributions are not part of the
+behavioural contract.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neko_tpu.config import ModelConfig
+from neko_tpu.data.batch import PackedBatch
+from neko_tpu.models.embeddings import ImagePatchEmbedding
+from neko_tpu.models.transformer import Transformer
+
+_INIT = nn.initializers.normal(stddev=0.02)
+
+
+class NekoModel(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        cfg = self.cfg
+        ts = cfg.token_space
+        self.embed_token = nn.Embed(
+            ts.embed_rows,
+            cfg.embed_dim,
+            embedding_init=_INIT,
+            param_dtype=cfg.params_dtype,
+            name="embed_token",
+        )
+        self.image_embedding = ImagePatchEmbedding(cfg, name="image_embedding")
+        if cfg.use_pos_encoding:
+            self.pos_embed_observation = nn.Embed(
+                cfg.context_len,
+                cfg.embed_dim,
+                embedding_init=_INIT,
+                param_dtype=cfg.params_dtype,
+                name="pos_embed_observation",
+            )
+        self.embed_dropout = nn.Dropout(cfg.dropout)
+        self.transformer = Transformer(cfg, name="transformer")
+        self.predict_token = nn.Dense(
+            ts.vocab_size,
+            use_bias=False,
+            kernel_init=_INIT,
+            dtype=cfg.activation_dtype,
+            param_dtype=cfg.params_dtype,
+            name="predict_token",
+        )
+
+    # ---------------------------------------------------------------- embed
+    def embed_batch(
+        self, batch: PackedBatch, *, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """Token ids (+ patch scatter + inner positions) -> [B, S, D]."""
+        cfg = self.cfg
+        dtype = cfg.activation_dtype
+        emb = self.embed_token(batch.tokens).astype(dtype)
+
+        if batch.has_patches:
+            p_emb = self.image_embedding(
+                batch.patches, batch.patch_pos, deterministic=deterministic
+            )  # [B, P, D]
+            B = batch.tokens.shape[0]
+            rows = jnp.arange(B)[:, None]
+            # slot == S is out of range -> dropped (unused patch slots)
+            emb = emb.at[rows, batch.patch_slot].set(
+                p_emb.astype(dtype), mode="drop"
+            )
+
+        if cfg.use_pos_encoding:
+            pos_idx = jnp.clip(batch.inner_pos, 0, cfg.context_len - 1)
+            pos_emb = self.pos_embed_observation(pos_idx).astype(dtype)
+            emb = emb + jnp.where((batch.inner_pos >= 0)[..., None], pos_emb, 0.0)
+        return emb
+
+    # -------------------------------------------------------------- forward
+    def __call__(
+        self,
+        batch: PackedBatch,
+        *,
+        deterministic: bool = True,
+        compute_loss: bool = False,
+    ):
+        emb = self.embed_batch(batch, deterministic=deterministic)
+        emb = self.embed_dropout(emb, deterministic=deterministic)
+        hidden = self.transformer(
+            emb, batch.input_mask, deterministic=deterministic
+        )
+        logits = self.predict_token(hidden).astype(jnp.float32)
+        if not compute_loss:
+            return logits, None
+        loss = masked_next_token_loss(
+            logits, batch.tokens, batch.input_mask, batch.target_mask
+        )
+        return logits, loss
+
+    # -------------------------------------------------------------- decode
+    def prefill(self, emb: jnp.ndarray, input_mask: jnp.ndarray) -> jnp.ndarray:
+        """Full forward populating the KV cache; returns fp32 logits [B,S,V]."""
+        hidden = self.transformer(
+            emb, input_mask, deterministic=True, mode="prefill"
+        )
+        return self.predict_token(hidden).astype(jnp.float32)
+
+    def decode_step(
+        self, emb: jnp.ndarray, decode_index: jnp.ndarray
+    ) -> jnp.ndarray:
+        """One-token decode using the KV cache.
+
+        emb: [B, 1, D] embedding of the new token; decode_index: int32[B]
+        position at which it lives.  Returns fp32 logits [B, 1, V].
+        """
+        hidden = self.transformer(
+            emb,
+            jnp.ones(emb.shape[:2], jnp.bool_),
+            deterministic=True,
+            mode="decode",
+            decode_index=decode_index,
+        )
+        return self.predict_token(hidden).astype(jnp.float32)
+
+    def embed_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Plain token-id embedding (decode loop helper)."""
+        return self.embed_token(tokens).astype(self.cfg.activation_dtype)
+
+    def embed_images(self, patches, patch_pos, *, deterministic: bool = True):
+        """Standalone patch embedding (caption/VQA eval caches this once,
+        mirroring gato_policy.py:489,503-506)."""
+        return self.image_embedding(patches, patch_pos, deterministic=deterministic)
+
+
+def masked_next_token_loss(
+    logits: jnp.ndarray,   # fp32 [B, S, V]
+    tokens: jnp.ndarray,   # i32 [B, S]
+    input_mask: jnp.ndarray,
+    target_mask: jnp.ndarray,
+) -> jnp.ndarray:
+    """Shifted masked CE, averaged over unmasked target tokens of the batch."""
+    loss_logits = logits[:, :-1, :]
+    targets = tokens[:, 1:]
+    mask = (
+        input_mask[:, :-1].astype(jnp.float32)
+        * target_mask[:, 1:].astype(jnp.float32)
+    )
+    logz = jax.nn.logsumexp(loss_logits, axis=-1)
+    # Masked positions may hold ids outside the scored vocabulary (separator /
+    # padding) — clip before the gather and zero via `where` (never `*` which
+    # would propagate NaN from out-of-range fills).
+    safe_targets = jnp.clip(targets, 0, loss_logits.shape[-1] - 1)
+    target_logit = jnp.take_along_axis(
+        loss_logits, safe_targets[..., None], axis=-1
+    )[..., 0]
+    nll = jnp.where(mask > 0, logz - target_logit, 0.0)
+    denom = jnp.maximum(mask.sum(), 1.0)
+    return nll.sum() / denom

@@ -1,0 +1,218 @@
+"""Decoder-only transformer core (GPT-2 style, no global position embedding).
+
+TPU-native re-implementation of the behaviour of the reference's forked HF
+GPT-2 (/root/reference/gato/transformers/trajectory_gpt2.py):
+
+* pre-LN blocks: x + attn(ln_1(x)); x + mlp(ln_2(x))  (trajectory_gpt2.py:296-359)
+* scaled dot-product causal attention with an additive key-padding mask
+  (trajectory_gpt2.py:163-188, 663-679)
+* optional GEGLU MLP: gelu(c_fc(x)) * gate(x) -> c_proj  (trajectory_gpt2.py:260-278)
+* NO absolute position embedding — the reference deletes GPT-2's `wpe`
+  (trajectory_gpt2.py:540,700-701); positions come from structured encodings
+  upstream (inner-timestep + patch positions).
+
+Differences by design (TPU-first):
+
+* static shapes everywhere; the causal mask is computed inline and fused by
+  XLA (or handled inside the Pallas flash-attention kernel) instead of a
+  precomputed n_ctx x n_ctx buffer;
+* a real KV cache for decode: `mode='prefill'` populates a [B, S] ring of
+  keys/values, `mode='decode'` runs one-token steps — the reference plumbs a
+  KV cache but never uses it, re-running the full context per generated token
+  (gato_policy.py:444-445, 586-587);
+* attention logits/softmax accumulate in fp32 while activations are bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from neko_tpu.config import ModelConfig
+
+_INIT = nn.initializers.normal(stddev=0.02)
+_BIG_NEG = -1e9
+
+
+def _dot_product_attention(q, k, v, bias, dropout_rng, dropout_rate, deterministic):
+    """Reference XLA attention. q,k,v: [B, H, S_q, hd]; bias: broadcastable to
+    [B, H, S_q, S_k] additive fp32."""
+    hd = q.shape[-1]
+    scale = hd ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    weights = weights.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+class Attention(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,           # [B, S, D] (S == 1 in decode mode)
+        input_mask: jnp.ndarray,  # [B, S] bool; ignored in decode mode
+        *,
+        deterministic: bool = True,
+        mode: str = "train",      # 'train' | 'prefill' | 'decode'
+        decode_index: Optional[jnp.ndarray] = None,  # int32[B], decode only
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        B, S, D = x.shape
+        H, hd = cfg.heads, cfg.head_dim
+        dtype = cfg.activation_dtype
+
+        qkv = nn.Dense(
+            3 * D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
+            name="c_attn",
+        )(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+        if mode == "decode":
+            assert S == 1, "decode mode consumes one token at a time"
+            ck = self.variable(
+                "cache", "key",
+                lambda: jnp.zeros((B, H, cfg.context_len, hd), dtype),
+            )
+            cv = self.variable(
+                "cache", "value",
+                lambda: jnp.zeros((B, H, cfg.context_len, hd), dtype),
+            )
+            cm = self.variable(
+                "cache", "mask", lambda: jnp.zeros((B, cfg.context_len), jnp.bool_)
+            )
+            rows = jnp.arange(B)
+            ck.value = ck.value.at[rows, :, decode_index].set(k[:, :, 0])
+            cv.value = cv.value.at[rows, :, decode_index].set(v[:, :, 0])
+            cm.value = cm.value.at[rows, decode_index].set(True)
+            k_full, v_full = ck.value, cv.value
+            bias = jnp.where(cm.value[:, None, None, :], 0.0, _BIG_NEG).astype(
+                jnp.float32
+            )
+            out = _dot_product_attention(
+                q, k_full, v_full, bias, None, 0.0, True
+            )
+        else:
+            if mode == "prefill":
+                ck = self.variable("cache", "key", lambda: k)
+                cv = self.variable("cache", "value", lambda: v)
+                cm = self.variable("cache", "mask", lambda: input_mask)
+                ck.value, cv.value, cm.value = k, v, input_mask
+
+            causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+            allowed = causal[None, None, :, :] & input_mask[:, None, None, :]
+            bias = jnp.where(allowed, 0.0, _BIG_NEG).astype(jnp.float32)
+            dropout_rng = None
+            if not deterministic and cfg.dropout > 0.0:
+                dropout_rng = self.make_rng("dropout")
+            out = _dot_product_attention(
+                q, k, v, bias, dropout_rng, cfg.dropout, deterministic
+            )
+
+        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        out = nn.Dense(
+            D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
+            name="c_proj",
+        )(out)
+        out = nn.Dropout(cfg.dropout, deterministic=deterministic)(out)
+        return out
+
+
+class MLP(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.cfg
+        dtype = cfg.activation_dtype
+        inner = 4 * cfg.embed_dim
+        h = nn.Dense(
+            inner, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
+            name="c_fc",
+        )(x)
+        h = nn.gelu(h, approximate=False)
+        if cfg.activation_fn == "geglu":
+            gate = nn.Dense(
+                inner, kernel_init=_INIT, dtype=dtype,
+                param_dtype=cfg.params_dtype, name="gate",
+            )(x)
+            h = h * gate
+        h = nn.Dense(
+            cfg.embed_dim, kernel_init=_INIT, dtype=dtype,
+            param_dtype=cfg.params_dtype, name="c_proj",
+        )(h)
+        return nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+
+
+class Block(nn.Module):
+    """One pre-LN transformer block.  `mode` / `deterministic` are module
+    attributes (static per-apply) so `nn.remat` only ever sees array args."""
+
+    cfg: ModelConfig
+    deterministic: bool = True
+    mode: str = "train"
+
+    @nn.compact
+    def __call__(self, x, input_mask, decode_index=None):
+        cfg = self.cfg
+        h = nn.LayerNorm(
+            epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
+            name="ln_1",
+        )(x)
+        x = x + Attention(cfg, name="attn")(
+            h,
+            input_mask,
+            deterministic=self.deterministic,
+            mode=self.mode,
+            decode_index=decode_index,
+        )
+        h = nn.LayerNorm(
+            epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
+            name="ln_2",
+        )(x)
+        x = x + MLP(cfg, name="mlp")(h, deterministic=self.deterministic)
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of pre-LN blocks + final LayerNorm."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        input_mask: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        mode: str = "train",
+        decode_index=None,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        block_cls = Block
+        if cfg.remat and mode == "train":
+            block_cls = nn.remat(Block, prevent_cse=False)
+        for i in range(cfg.layers):
+            x = block_cls(
+                cfg, deterministic=deterministic, mode=mode, name=f"h_{i}"
+            )(x, input_mask, decode_index)
+        x = nn.LayerNorm(
+            epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
+            name="ln_f",
+        )(x)
+        return x
