@@ -126,6 +126,23 @@ class ModelConfig:
     def vocab_size(self) -> int:
         return self.token_space.vocab_size
 
+    # Vocab-dim padding: the embedding table and LM head shard their vocab
+    # dimension over the 'model' mesh axis, so pad to a 256-multiple (keeps
+    # every shard lane-aligned for any model-axis size up to 256).  Ids in
+    # [vocab_size+1, padded) are never produced; padded logit columns are
+    # masked out of the loss.
+    VOCAB_ALIGN = 256
+
+    @property
+    def padded_vocab_size(self) -> int:
+        a = self.VOCAB_ALIGN
+        return ((self.vocab_size + a - 1) // a) * a
+
+    @property
+    def padded_embed_rows(self) -> int:
+        a = self.VOCAB_ALIGN
+        return ((self.token_space.embed_rows + a - 1) // a) * a
+
     @property
     def head_dim(self) -> int:
         assert self.embed_dim % self.heads == 0

@@ -46,7 +46,7 @@ class NekoModel(nn.Module):
         cfg = self.cfg
         ts = cfg.token_space
         self.embed_token = nn.Embed(
-            ts.embed_rows,
+            cfg.padded_embed_rows,  # vocab-dim padded for 'model' sharding
             cfg.embed_dim,
             embedding_init=_INIT,
             param_dtype=cfg.params_dtype,
@@ -64,7 +64,7 @@ class NekoModel(nn.Module):
         self.embed_dropout = nn.Dropout(cfg.dropout)
         self.transformer = Transformer(cfg, name="transformer")
         self.predict_token = nn.Dense(
-            ts.vocab_size,
+            cfg.padded_vocab_size,  # padded; loss/decode mask the tail
             use_bias=False,
             kernel_init=_INIT,
             dtype=cfg.activation_dtype,
@@ -115,7 +115,11 @@ class NekoModel(nn.Module):
         if not compute_loss:
             return logits, None
         loss = masked_next_token_loss(
-            logits, batch.tokens, batch.input_mask, batch.target_mask
+            logits,
+            batch.tokens,
+            batch.input_mask,
+            batch.target_mask,
+            valid_vocab=self.cfg.vocab_size,
         )
         return logits, loss
 
@@ -155,12 +159,17 @@ class NekoModel(nn.Module):
 
 
 def masked_next_token_loss(
-    logits: jnp.ndarray,   # fp32 [B, S, V]
+    logits: jnp.ndarray,   # fp32 [B, S, V] (V may be vocab-padded)
     tokens: jnp.ndarray,   # i32 [B, S]
     input_mask: jnp.ndarray,
     target_mask: jnp.ndarray,
+    valid_vocab: Optional[int] = None,
 ) -> jnp.ndarray:
     """Shifted masked CE, averaged over unmasked target tokens of the batch."""
+    if valid_vocab is not None and valid_vocab < logits.shape[-1]:
+        # exclude padded vocab columns from the partition function
+        col = jnp.arange(logits.shape[-1])
+        logits = jnp.where(col < valid_vocab, logits, -1e30)
     loss_logits = logits[:, :-1, :]
     targets = tokens[:, 1:]
     mask = (

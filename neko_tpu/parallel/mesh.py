@@ -1,0 +1,44 @@
+"""Device mesh construction.
+
+The reference's distribution is HF Accelerate DDP over NCCL (train.py:26-40);
+the TPU-native equivalent is a `jax.sharding.Mesh` with ('data', 'model')
+axes: batch sharded on 'data', attention heads / MLP hidden / vocab sharded on
+'model', with XLA emitting the all-reduce / all-gather collectives over ICI
+from sharding annotations (SURVEY.md §2.2, §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    *,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a ('data', 'model') mesh.
+
+    data=None uses all remaining devices for the data axis.  On multi-host
+    TPU slices call `jax.distributed.initialize()` first; `jax.devices()`
+    then spans the full slice and the mesh rides ICI within a slice.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, (
+        f"mesh {data}x{model} != {n} available devices"
+    )
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def single_device_mesh() -> Mesh:
+    return create_mesh(data=1, model=1, devices=jax.devices()[:1])

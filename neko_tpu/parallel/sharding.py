@@ -1,0 +1,100 @@
+"""Sharding rules: parameter and batch PartitionSpecs over ('data', 'model').
+
+Tensor-parallel layout (the BASELINE.json north-star "pjit data+tensor
+sharding over ICI"):
+
+* attention qkv / MLP up / gate kernels: shard the OUTPUT (hidden) dim on
+  'model' — heads and MLP hidden split across chips;
+* attention/MLP down-projections: shard the INPUT dim on 'model' (XLA emits a
+  reduce-scatter/all-reduce pair per block, the Megatron pattern);
+* embedding table and LM head: shard the vocab dim on 'model';
+* everything small (LayerNorms, biases of down-projections, positional
+  tables, patch-conv kernels): replicated;
+* batch dims of every input array: sharded on 'data'.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# (path-suffix match rules, applied in order; first hit wins)
+_RULES = [
+    # token / output embeddings: vocab on model axis
+    (("embed_token", "embedding"), P("model", None)),
+    (("predict_token", "kernel"), P(None, "model")),
+    # attention
+    (("attn", "c_attn", "kernel"), P(None, "model")),
+    (("attn", "c_attn", "bias"), P("model")),
+    (("attn", "c_proj", "kernel"), P("model", None)),
+    (("attn", "c_proj", "bias"), P(None)),
+    # MLP (incl. GEGLU gate)
+    (("mlp", "c_fc", "kernel"), P(None, "model")),
+    (("mlp", "c_fc", "bias"), P("model")),
+    (("mlp", "gate", "kernel"), P(None, "model")),
+    (("mlp", "gate", "bias"), P("model")),
+    (("mlp", "c_proj", "kernel"), P("model", None)),
+    (("mlp", "c_proj", "bias"), P(None)),
+]
+
+
+def _path_names(path) -> tuple:
+    names = []
+    for k in path:
+        if hasattr(k, "key"):
+            names.append(str(k.key))
+        elif hasattr(k, "name"):
+            names.append(str(k.name))
+        else:
+            names.append(str(k))
+    return tuple(names)
+
+
+def param_pspec(path, value) -> P:
+    names = _path_names(path)
+    for suffix, spec in _RULES:
+        if names[-len(suffix):] == suffix:
+            if len(spec) <= value.ndim:
+                return spec
+    return P()  # replicate
+
+
+def param_pspecs(params) -> Any:
+    """PartitionSpec pytree matching a params pytree."""
+    return jax.tree_util.tree_map_with_path(param_pspec, params)
+
+
+def param_shardings(mesh: Mesh, params) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: NamedSharding(mesh, param_pspec(p, v)), params
+    )
+
+
+def batch_pspecs(batch) -> Any:
+    """Shard the leading (batch) dim of every array on 'data'."""
+    return jax.tree_util.tree_map(
+        lambda v: P("data", *([None] * (v.ndim - 1))), batch
+    )
+
+
+def batch_shardings(mesh: Mesh, batch) -> Any:
+    return jax.tree_util.tree_map(
+        lambda v: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1)))),
+        batch,
+    )
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params):
+    """Place an (unsharded) params pytree onto the mesh."""
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def shard_batch(mesh: Mesh, batch):
+    return jax.device_put(batch, batch_shardings(mesh, batch))

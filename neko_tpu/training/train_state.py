@@ -1,0 +1,206 @@
+"""Train state + the pjit-compiled train step.
+
+The TPU-native equivalent of the reference's Accelerate loop
+(trainer.py:176-186: accumulate -> backward -> clip -> AdamW step -> cosine
+schedule): one jit-compiled function over a ('data','model') mesh holding
+params, AdamW state, step counter and RNG in a single donated pytree.
+Gradient all-reduce over the 'data' axis and tensor-parallel collectives over
+'model' are emitted by XLA from sharding annotations — there is no hand-written
+communication code on the train path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from neko_tpu.config import ModelConfig
+from neko_tpu.data.batch import PackedBatch
+from neko_tpu.models.policy import NekoModel
+from neko_tpu.parallel import sharding as shd
+from neko_tpu.training.schedulers import linear_warmup_cosine_decay
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+@dataclasses.dataclass
+class OptimizerConfig:
+    """Reference flag surface (arguments.py:63-89)."""
+
+    learning_rate: float = 1e-4
+    init_lr: float = 1e-7
+    min_factor: float = 10.0
+    warmup_steps: int = 15_000
+    training_steps: int = 1_000_000
+    disable_cosine_decay: bool = False
+    beta_1: float = 0.9
+    beta_2: float = 0.95
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.1
+    grad_norm_clip: float = 1.0
+    disable_grad_clip: bool = False
+    gradient_accumulation_steps: int = 1
+
+
+def make_optimizer(cfg: OptimizerConfig) -> Tuple[optax.GradientTransformation, Callable]:
+    schedule = linear_warmup_cosine_decay(
+        base_lr=cfg.learning_rate,
+        init_lr=cfg.init_lr,
+        min_lr=cfg.learning_rate / cfg.min_factor,
+        warmup_steps=cfg.warmup_steps,
+        total_steps=cfg.training_steps,
+        cosine_decay=not cfg.disable_cosine_decay,
+    )
+    chain = []
+    if not cfg.disable_grad_clip:
+        chain.append(optax.clip_by_global_norm(cfg.grad_norm_clip))
+    # torch.optim.AdamW decays every parameter passed to it (train.py:127-133)
+    # so no decay mask here — parity over fashion.
+    chain.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=cfg.beta_1,
+            b2=cfg.beta_2,
+            eps=cfg.adam_eps,
+            weight_decay=cfg.weight_decay,
+        )
+    )
+    tx = optax.chain(*chain)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation_steps)
+    return tx, schedule
+
+
+class TrainContext:
+    """Owns model, optimizer, mesh and the compiled train/eval steps."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        opt_cfg: OptimizerConfig,
+        mesh: Mesh,
+        seed: int = 0,
+    ):
+        self.model_cfg = model_cfg
+        self.opt_cfg = opt_cfg
+        self.mesh = mesh
+        self.model = NekoModel(model_cfg)
+        self.tx, self.schedule = make_optimizer(opt_cfg)
+        self.seed = seed
+        self._train_step = None
+        self._eval_step = None
+
+    # ------------------------------------------------------------- init
+    def init_state(self, example_batch: PackedBatch) -> TrainState:
+        rng = jax.random.key(self.seed)
+
+        def _init(rng, batch):
+            params = self.model.init({"params": rng}, batch)["params"]
+            opt_state = self.tx.init(params)
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=opt_state,
+                rng=jax.random.key(self.seed + 1),
+            )
+
+        # Evaluate shapes first so we can jit-init directly into the sharded
+        # layout (no host-memory spike, no device round-trip).
+        abstract = jax.eval_shape(_init, rng, example_batch)
+        out_shardings = jax.tree_util.tree_map_with_path(
+            lambda path, v: NamedSharding(
+                self.mesh, self._state_pspec(path, v)
+            ),
+            abstract,
+        )
+        init_fn = jax.jit(_init, out_shardings=out_shardings)
+        with self.mesh:
+            return init_fn(rng, shd.shard_batch(self.mesh, example_batch))
+
+    def _state_pspec(self, path, value) -> P:
+        # Param rules match by path suffix, so they apply equally to params
+        # and to the param-shaped adam moments inside opt_state; scalars and
+        # RNG keys fall through to replicated.
+        return shd.param_pspec(path, value)
+
+    def state_shardings(self, state: TrainState):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, v: NamedSharding(self.mesh, self._state_pspec(path, v)),
+            state,
+        )
+
+    # ------------------------------------------------------------- steps
+    def train_step(self, state: TrainState, batch: PackedBatch):
+        if self._train_step is None:
+            self._train_step = self._build_train_step(state, batch)
+        with self.mesh:
+            return self._train_step(state, batch)
+
+    def _build_train_step(self, state: TrainState, batch: PackedBatch):
+        model, tx = self.model, self.tx
+
+        def step_fn(state: TrainState, batch: PackedBatch):
+            rng, new_rng = jax.random.split(state.rng)
+            dropout_rng, patch_rng = jax.random.split(
+                jax.random.fold_in(rng, state.step), 2
+            )
+
+            def loss_fn(params):
+                _, loss = model.apply(
+                    {"params": params},
+                    batch,
+                    deterministic=False,
+                    compute_loss=True,
+                    rngs={"dropout": dropout_rng, "patch_pos": patch_rng},
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt,
+                rng=new_rng,
+            )
+            return new_state, loss
+
+        state_sh = self.state_shardings(state)
+        batch_sh = shd.batch_shardings(self.mesh, batch)
+        return jax.jit(
+            step_fn,
+            in_shardings=(state_sh, batch_sh),
+            out_shardings=(state_sh, NamedSharding(self.mesh, P())),
+            donate_argnums=(0,),
+        )
+
+    def eval_step(self, state: TrainState, batch: PackedBatch):
+        """Deterministic loss on a batch (no grads)."""
+        if self._eval_step is None:
+            model = self.model
+
+            def fn(params, batch):
+                _, loss = model.apply(
+                    {"params": params}, batch, deterministic=True, compute_loss=True
+                )
+                return loss
+
+            self._eval_step = jax.jit(fn)
+        with self.mesh:
+            return self._eval_step(state.params, batch)
+
+    def current_lr(self, step: int) -> float:
+        return float(self.schedule(step))

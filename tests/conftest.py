@@ -1,12 +1,13 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
-Must set XLA flags before jax initializes, so this sits at the top of
-conftest (pytest imports it before any test module).
+XLA flags must be set before jax initializes its backends, so this sits at
+the top of conftest (pytest imports it before any test module).  NOTE: in the
+axon-TPU environment the JAX_PLATFORMS env var is overridden by the harness —
+`jax.config.update` is the only reliable way to force the CPU platform.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +16,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -65,7 +65,7 @@ def test_forward_shapes_and_loss():
         {"params": params}, batch, deterministic=True, compute_loss=True
     )
     B, S = batch.tokens.shape
-    assert logits.shape == (B, S, CFG.vocab_size)
+    assert logits.shape == (B, S, CFG.padded_vocab_size)
     assert logits.dtype == jnp.float32
     assert jnp.isfinite(loss)
 
