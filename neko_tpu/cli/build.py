@@ -1,0 +1,176 @@
+"""Shared construction: TrainingArgs -> (model config, mesh, tasks, context).
+
+The TPU-native counterpart of the reference's train.py:25-159 wiring
+(Accelerator init, env/task construction, GatoPolicy build, optimizer).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+
+from neko_tpu.config import ModelConfig
+from neko_tpu.parallel.mesh import create_mesh
+from neko_tpu.tasks.base import Task
+from neko_tpu.tasks.control import ControlTask
+from neko_tpu.tasks.text import TextTask
+from neko_tpu.tokenizers.text import get_text_tokenizer
+from neko_tpu.training.arguments import TrainingArgs
+from neko_tpu.training.train_state import OptimizerConfig, TrainContext
+
+
+def select_platform(args: TrainingArgs) -> None:
+    """Honour --cpu / --device (must run before first jax use)."""
+    if args.cpu or args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
+def build_control_tasks(args: TrainingArgs, context_len: int) -> List[ControlTask]:
+    if not args.control_datasets:
+        return []
+    from neko_tpu.envs.setup_env import load_envs
+
+    envs, datasets = load_envs(args.control_datasets)
+    tasks = []
+    from neko_tpu.envs.setup_env import expand_dataset_names
+
+    names = expand_dataset_names(args.control_datasets)
+    for name, env, dataset in zip(names, envs, datasets):
+        tasks.append(
+            ControlTask(
+                name,
+                env,
+                dataset,
+                context_len=context_len,
+                patch_size=args.patch_size,
+                training_prompt_len_proportion=args.prompt_len_proportion,
+                share_prompt_episodes=not args.unique_prompt_episodes,
+                top_k_prompting=args.top_k,
+                seed=args.seed,
+            )
+        )
+    return tasks
+
+
+def build_tasks(args: TrainingArgs) -> List[Task]:
+    tasks: List[Task] = list(build_control_tasks(args, args.sequence_length))
+    if args.text_datasets:
+        tasks.append(
+            TextTask(
+                args.text_datasets,
+                args.text_datasets_paths,
+                context_length=args.sequence_length,
+                tokenizer_model=args.tokenizer_model_name,
+                seed=args.seed,
+            )
+        )
+    if args.caption_dataset:
+        from neko_tpu.tasks.caption import CaptionTask
+
+        tasks.append(
+            CaptionTask(
+                args.caption_dataset,
+                train_data=args.caption_train_data,
+                test_data=args.caption_test_data,
+                test_data_prop=args.test_data_prop,
+                tokenizer_model=args.tokenizer_model_name,
+                seed=args.seed,
+            )
+        )
+    if args.vqa_dataset:
+        from neko_tpu.tasks.vqa import VqaTask
+
+        tasks.append(
+            VqaTask(
+                args.vqa_dataset,
+                train_data=args.vqa_train_data,
+                test_data=args.vqa_test_data,
+                train_img_name_prefix=args.train_img_name_prefix,
+                train_img_file_name_len=args.train_img_file_name_len,
+                test_img_name_prefix=args.test_img_name_prefix,
+                test_img_file_name_len=args.test_img_file_name_len,
+                questions_file=args.questions_file,
+                annotations_file=args.annotations_file,
+                tokenizer_model=args.tokenizer_model_name,
+                seed=args.seed,
+            )
+        )
+    return tasks
+
+
+def derive_max_patches(args: TrainingArgs, tasks: List[Task]) -> int:
+    if args.max_patches >= 0:
+        return args.max_patches
+    required = [0]
+    for t in tasks:
+        if isinstance(t, ControlTask):
+            required.append(t.required_patches)
+        elif getattr(t, "task_kind", "") in ("caption", "vqa"):
+            required.append(getattr(t, "patches_per_image"))
+    return max(required)
+
+
+def model_config_from_args(args: TrainingArgs, max_patches: int) -> ModelConfig:
+    dtype = {
+        "no": "float32",
+        "bf16": "bfloat16",
+        "fp16": "bfloat16",  # fp16 has no TPU benefit; map to bf16
+        "fp8": "bfloat16",
+    }[args.mixed_precision]
+    tok = get_text_tokenizer(args.tokenizer_model_name)
+    return ModelConfig(
+        embed_dim=args.embed_dim,
+        layers=args.layers,
+        heads=args.heads,
+        dropout=args.dropout,
+        activation_fn=args.activation_fn,
+        text_tokens=int(tok.vocab_size),
+        continuous_tokens=args.continuous_tokens,
+        discrete_tokens=args.discrete_tokens,
+        context_len=args.sequence_length,
+        mu=args.mu,
+        M=args.M,
+        patch_size=args.patch_size,
+        resid_mid_channels=args.resid_mid_channels,
+        num_groups=args.num_groups,
+        position_vocab_size=args.patch_position_vocab_size,
+        use_pos_encoding=not args.disable_inner_pos_encoding,
+        use_patch_pos_encoding=not args.disable_patch_pos_encoding,
+        max_patches=max_patches,
+        dtype=dtype,
+        attention_impl="flash" if args.flash else "xla",
+        remat=args.remat,
+    )
+
+
+def optimizer_config_from_args(args: TrainingArgs) -> OptimizerConfig:
+    return OptimizerConfig(
+        learning_rate=args.learning_rate,
+        init_lr=args.init_lr,
+        min_factor=args.min_factor,
+        warmup_steps=args.warmup_steps,
+        training_steps=args.training_steps,
+        disable_cosine_decay=args.disable_cosine_decay,
+        beta_1=args.beta_1,
+        beta_2=args.beta_2,
+        adam_eps=args.adam_eps,
+        weight_decay=args.weight_decay,
+        grad_norm_clip=args.grad_norm_clip,
+        disable_grad_clip=args.disable_grad_clip,
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+    )
+
+
+def build_context(
+    args: TrainingArgs, tasks: Optional[List[Task]] = None
+) -> Tuple[TrainContext, List[Task]]:
+    select_platform(args)
+    if tasks is None:
+        tasks = build_tasks(args)
+    max_patches = derive_max_patches(args, tasks)
+    model_cfg = model_config_from_args(args, max_patches)
+    opt_cfg = optimizer_config_from_args(args)
+    mesh = create_mesh(model=args.mesh_model_axis)
+    ctx = TrainContext(model_cfg, opt_cfg, mesh, seed=args.seed)
+    return ctx, tasks

@@ -1,0 +1,107 @@
+"""`neko-eval` / `python eval.py` — standalone evaluation.
+
+Mirrors the reference eval.py: loads a checkpoint + its adjacent args.json,
+merges CLI overrides, rebuilds envs/tasks/model, and evaluates control + text
+tasks, printing `evaluation/<task>/<metric>` lines (eval.py:21-122).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+from neko_tpu.cli.build import build_context
+from neko_tpu.inference.generator import Generator
+from neko_tpu.tasks.control import ControlTask
+from neko_tpu.tasks.text import TextTask
+from neko_tpu.training.arguments import TrainingArgs
+from neko_tpu.utils.checkpoint import latest_checkpoint, load_args_dict, load_checkpoint
+
+
+def run(cli) -> dict:
+    ckpt_path = cli.model_path
+    if os.path.isdir(ckpt_path) and not os.path.basename(ckpt_path).startswith(
+        "checkpoint_"
+    ):
+        found = latest_checkpoint(ckpt_path)
+        assert found, f"no checkpoint_* under {ckpt_path}"
+        ckpt_path = found
+    exp_dir = os.path.dirname(ckpt_path)
+
+    saved = load_args_dict(exp_dir)
+    # CLI overrides merged into saved args (reference eval.py:36-38)
+    for key in (
+        "eval_episodes", "eval_mode", "promptless_eval",
+        "eval_text_num_examples", "eval_text_log_examples", "top_k", "cpu",
+    ):
+        v = getattr(cli, key, None)
+        if v is not None:
+            saved[key] = v
+    known = {f.name for f in TrainingArgs.__dataclass_fields__.values()}
+    args = TrainingArgs(**{k: v for k, v in saved.items() if k in known})
+    if cli.control_datasets:
+        args.control_datasets = cli.control_datasets
+
+    ctx, tasks = build_context(args)
+    trainer_state = None
+
+    # restore into the sharded layout
+    import jax
+
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+
+    packer = SequencePacker(ctx.model_cfg)
+    arrays = packer.pack_batch([{"text": [0]}])
+    arrays.pop("lengths")
+    state = ctx.init_state(to_device_batch(arrays))
+    state = load_checkpoint(ckpt_path, jax.tree.map(lambda x: x, state))
+
+    gen = Generator(ctx.model, state.params, packer)
+    deterministic = args.eval_mode == "deterministic"
+
+    logs = {}
+    for task in tasks:
+        if isinstance(task, ControlTask):
+            m = task.evaluate(
+                gen,
+                n_iterations=args.eval_episodes,
+                deterministic=deterministic,
+                promptless_eval=bool(args.promptless_eval),
+            )
+            for k, v in m.items():
+                logs[f"evaluation/{task.name}/{k}"] = v
+        elif isinstance(task, TextTask):
+            m = task.evaluate(
+                gen,
+                num_examples_to_test=args.eval_text_num_examples,
+                deterministic=deterministic,
+                log_examples_to_output=bool(args.eval_text_log_examples),
+            )
+            for k, v in m.items():
+                logs[f"evaluation/text/{k}"] = v
+    for k, v in logs.items():
+        print(f"{k}: {v}")
+    return logs
+
+
+def main(argv: Optional[list] = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", type=str, required=True,
+                   help="checkpoint_<N> dir, or an exp dir (latest used)")
+    p.add_argument("--eval_episodes", type=int, default=None)
+    p.add_argument("--eval_mode", type=str, default=None,
+                   choices=["deterministic", "stochastic"])
+    p.add_argument("--promptless_eval", action="store_true", default=None)
+    p.add_argument("--eval_text_num_examples", type=int, default=None)
+    p.add_argument("--eval_text_log_examples", action="store_true", default=None)
+    p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--cpu", action="store_true", default=None)
+    p.add_argument("--control_datasets", type=str, nargs="+", default=None)
+    cli = p.parse_args(argv)
+    run(cli)
+
+
+if __name__ == "__main__":
+    main()

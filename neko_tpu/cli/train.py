@@ -1,0 +1,75 @@
+"""`neko-train` / `python train.py` — the training entry point.
+
+Flag surface matches the reference train.py (including its startup sanity
+asserts, train.py:166-172); the run itself is the TPU-native pipeline.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional
+
+from neko_tpu.cli.build import build_context
+from neko_tpu.training.arguments import TrainingArgs
+from neko_tpu.training.trainer import Trainer
+from neko_tpu.utils.typed_argparser import TypedArgumentParser
+
+
+def run(args: TrainingArgs) -> Trainer:
+    import jax
+
+    ctx, tasks = build_context(args)
+
+    exp_name = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S") + "_neko"
+    trainer = Trainer(ctx, tasks, exp_name, args)
+    trainer.init_state()
+
+    if args.init_checkpoint is not None:
+        from neko_tpu.utils.checkpoint import load_params_only
+
+        abstract = jax.tree.map(lambda x: x, trainer.state)
+        params = load_params_only(args.init_checkpoint, abstract)
+        trainer.state = trainer.state.replace(params=params)
+
+    n_params = sum(x.size for x in jax.tree.leaves(trainer.state.params))
+    print(f"devices: {jax.devices()}")
+    print(f"mesh: {dict(ctx.mesh.shape)}")
+    print(f"parameters: {n_params:,}")
+
+    trainer.train()
+    return trainer
+
+
+def validate_args(args: TrainingArgs) -> None:
+    """Reference train.py:166-172 startup asserts."""
+    assert 0.0 <= args.text_prop <= 1.0
+    assert 0.0 <= args.caption_prop <= 1.0
+    assert 0.0 <= args.vqa_prop <= 1.0
+    assert args.text_prop + args.caption_prop + args.vqa_prop <= 1.0, (
+        "text/caption/vqa proportions must sum to <= 1"
+    )
+    control_prop = 1 - args.text_prop - args.caption_prop - args.vqa_prop
+    if control_prop > 1e-6:
+        assert args.control_datasets, (
+            "control data proportion > 0 but no --control_datasets specified"
+        )
+    if args.text_prop > 0:
+        assert args.text_datasets and args.text_datasets_paths, (
+            "text proportion > 0 but no --text_datasets/--text_datasets_paths"
+        )
+    assert args.training_steps >= args.log_eval_freq, (
+        "training_steps must be >= log_eval_freq"
+    )
+    if args.lora:
+        assert args.pretrained_lm is not None, "--lora requires --pretrained_lm"
+
+
+def main(argv: Optional[list] = None) -> None:
+    parser = TypedArgumentParser(TrainingArgs)
+    (args,) = parser.parse_args_into_dataclasses(argv)
+    validate_args(args)
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Episode storage: a thin, backend-agnostic offline-RL trajectory store.
+
+The reference reaches into Minari's private internals
+(`dataset._episode_indices`, `dataset._generator`, `dataset._data.get_episodes`
+— control_task.py:328-340).  Here the same sampling distribution runs against
+a small abstraction with three backends:
+
+* in-memory (synthetic datasets, tests)
+* HDF5 files in the Minari on-disk layout (h5py), streamed per episode
+* a Minari adapter when the `minari` package is installed
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Episode:
+    observations: np.ndarray  # [T(+1), ...] (minari stores T+1 obs)
+    actions: np.ndarray       # [T, ...]
+    rewards: np.ndarray       # [T]
+
+    @property
+    def total_timesteps(self) -> int:
+        return int(self.actions.shape[0])
+
+
+class EpisodeDataset:
+    """Base interface; subclasses implement __len__ / get_episode."""
+
+    spec_env_id: Optional[str] = None
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    @property
+    def total_episodes(self) -> int:
+        return len(self)
+
+    def get_episode(self, idx: int) -> Episode:
+        raise NotImplementedError
+
+    def get_episodes(self, indices: Sequence[int]) -> List[Episode]:
+        return [self.get_episode(int(i)) for i in indices]
+
+    def sample_episodes(
+        self,
+        n_episodes: int,
+        rng: Optional[np.random.Generator] = None,
+        episode_indices: Optional[Sequence[int]] = None,
+        replace: bool = False,
+    ) -> List[Episode]:
+        """Uniform sampling without replacement (reference
+        control_task.py:328-340 via Minari's generator.choice)."""
+        rng = rng or np.random.default_rng()
+        if episode_indices is None:
+            episode_indices = np.arange(len(self))
+        idx = rng.choice(episode_indices, size=n_episodes, replace=replace)
+        return self.get_episodes(idx)
+
+    def episode_returns(self) -> np.ndarray:
+        return np.array(
+            [self.get_episode(i).rewards.sum() for i in range(len(self))]
+        )
+
+
+class InMemoryEpisodeDataset(EpisodeDataset):
+    def __init__(self, episodes: List[Episode], spec_env_id: Optional[str] = None):
+        self._episodes = episodes
+        self.spec_env_id = spec_env_id
+
+    def __len__(self) -> int:
+        return len(self._episodes)
+
+    def get_episode(self, idx: int) -> Episode:
+        return self._episodes[idx]
+
+
+class H5EpisodeDataset(EpisodeDataset):
+    """Minari-style HDF5 layout: groups `episode_{i}` with datasets
+    observations / actions / rewards, plus attrs `total_episodes` and
+    `env_spec` when present."""
+
+    def __init__(self, path: str):
+        import h5py
+
+        self._path = path
+        self._file = h5py.File(path, "r")
+        if "total_episodes" in self._file.attrs:
+            self._n = int(self._file.attrs["total_episodes"])
+        else:
+            self._n = len(
+                [k for k in self._file.keys() if k.startswith("episode_")]
+            )
+        self.spec_env_id = self._file.attrs.get("env_id")
+
+    def __len__(self) -> int:
+        return self._n
+
+    def get_episode(self, idx: int) -> Episode:
+        g = self._file[f"episode_{idx}"]
+        return Episode(
+            observations=np.asarray(g["observations"]),
+            actions=np.asarray(g["actions"]),
+            rewards=np.asarray(g["rewards"]),
+        )
+
+    def close(self):
+        self._file.close()
+
+
+def save_h5(
+    path: str, episodes: List[Episode], env_id: Optional[str] = None
+) -> None:
+    import h5py
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with h5py.File(path, "w") as f:
+        f.attrs["total_episodes"] = len(episodes)
+        if env_id is not None:
+            f.attrs["env_id"] = env_id
+        for i, ep in enumerate(episodes):
+            g = f.create_group(f"episode_{i}")
+            g.create_dataset("observations", data=ep.observations)
+            g.create_dataset("actions", data=ep.actions)
+            g.create_dataset("rewards", data=ep.rewards)
+
+
+class MinariEpisodeDataset(EpisodeDataset):
+    """Adapter over a loaded minari.MinariDataset (import-gated)."""
+
+    def __init__(self, minari_dataset):
+        self._ds = minari_dataset
+        self._indices = np.asarray(getattr(minari_dataset, "episode_indices",
+                                           np.arange(minari_dataset.total_episodes)))
+        try:
+            self.spec_env_id = minari_dataset.spec.env_spec.id
+        except Exception:
+            self.spec_env_id = None
+
+    def __len__(self) -> int:
+        return len(self._indices)
+
+    def get_episode(self, idx: int) -> Episode:
+        ep = list(self._ds.iterate_episodes([int(self._indices[idx])]))[0]
+        return Episode(
+            observations=np.asarray(ep.observations),
+            actions=np.asarray(ep.actions),
+            rewards=np.asarray(ep.rewards),
+        )

@@ -1,0 +1,223 @@
+"""KV-cache autoregressive generation engine.
+
+Replaces the reference's token loops which re-run the FULL transformer over
+the whole context for every generated token with no cache
+(gato_policy.py:434-470 predict_text, 556-614 predict_control, 477-544
+predict_response).  Here: one jit-compiled prefill over the prompt, then one
+jit-compiled single-token decode step per generated token — O(S) work per
+token instead of O(S^2).
+
+Semantics preserved:
+
+* logits restricted to the modality's legal token range before
+  argmax/sampling, with discrete control further restricted to the env's
+  action count (gato_policy.py:570-576,589)
+* generated tokens are appended as plain token embeddings — no inner-position
+  encoding (gato_policy.py:462-465)
+* deterministic=argmax, stochastic=softmax sampling (gato_policy.py:453-458)
+* continuous actions decoded via the uniform-bin inverse
+  (gato_policy.py:608-613)
+* when generation would overflow the context, the window slides: we re-prefill
+  on the last S-1 embeddings (reference trims to `[-context_len:]` each step,
+  gato_policy.py:466-467)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neko_tpu.config import ModelConfig
+from neko_tpu.data.batch import to_device_batch
+from neko_tpu.data.packing import SequencePacker
+from neko_tpu.models.policy import NekoModel
+from neko_tpu.tokenizers.continuous import decode_np
+
+
+class Generator:
+    def __init__(self, model: NekoModel, params, packer: Optional[SequencePacker] = None):
+        self.model = model
+        self.cfg = model.cfg
+        self.params = params
+        self.packer = packer or SequencePacker(model.cfg)
+
+        self._embed_batch = jax.jit(self._embed_batch_impl)
+        self._prefill = jax.jit(self._prefill_impl)
+        self._decode = jax.jit(self._decode_impl)
+        self._embed_tokens = jax.jit(self._embed_tokens_impl)
+        self._select = jax.jit(
+            self._select_impl, static_argnames=("start", "end", "deterministic")
+        )
+
+    # ------------------------------------------------------------ jit impls
+    def _embed_batch_impl(self, params, batch):
+        return self.model.apply(
+            {"params": params}, batch, method=NekoModel.embed_batch
+        )
+
+    def _prefill_impl(self, params, emb, mask):
+        logits, vars_ = self.model.apply(
+            {"params": params}, emb, mask, method=NekoModel.prefill,
+            mutable=["cache"],
+        )
+        return logits, vars_["cache"]
+
+    def _decode_impl(self, params, cache, emb, index):
+        logits, vars_ = self.model.apply(
+            {"params": params, "cache": cache}, emb, index,
+            method=NekoModel.decode_step, mutable=["cache"],
+        )
+        return logits, vars_["cache"]
+
+    def _embed_tokens_impl(self, params, tokens):
+        return self.model.apply(
+            {"params": params}, tokens, method=NekoModel.embed_tokens
+        )
+
+    def _select_impl(self, logits, key, *, start, end, deterministic):
+        """Restrict logits to [start, end] inclusive and pick a token id."""
+        window = logits[start : end + 1]
+        if deterministic:
+            tok = jnp.argmax(window)
+        else:
+            tok = jax.random.categorical(key, window)
+        return tok + start, window
+
+    # ------------------------------------------------------------- helpers
+    def _pack_prompt(self, example: Dict, drop_trailing: int = 0):
+        """Pack one example right-padded; optionally drop trailing tokens
+        (predict_control strips the zero-padded action slots,
+        gato_policy.py:580-581)."""
+        arrays = self.packer.pack_batch([example], pad_side="right")
+        L = int(arrays.pop("lengths")[0]) - drop_trailing
+        batch = to_device_batch(arrays)
+        emb = self._embed_batch(self.params, batch)
+        return emb, L
+
+    def generate(
+        self,
+        example: Dict,
+        *,
+        max_new_tokens: int,
+        start: int,
+        end: int,
+        deterministic: bool = True,
+        drop_trailing: int = 0,
+        rng: Optional[jax.Array] = None,
+        prompt_emb: Optional[jnp.ndarray] = None,
+        prompt_len: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Generate tokens restricted to [start, end].
+
+        Returns (token_ids [n], window_logits [n, end-start+1]).  Either pass
+        `example` (packed here) or a precomputed (prompt_emb, prompt_len).
+        """
+        S = self.cfg.context_len
+        if prompt_emb is None:
+            emb, L = self._pack_prompt(example, drop_trailing)
+        else:
+            emb, L = prompt_emb, int(prompt_len)
+        if rng is None:
+            rng = jax.random.key(0)
+
+        mask = np.zeros((1, S), bool)
+        mask[0, :L] = True
+        logits, cache = self._prefill(self.params, emb, jnp.asarray(mask))
+        last_logits = logits[0, L - 1]
+
+        out_tokens: List[int] = []
+        out_logits: List[np.ndarray] = []
+        pos = L
+        for i in range(max_new_tokens):
+            rng, key = jax.random.split(rng)
+            tok, window = self._select(
+                last_logits, key, start=start, end=end,
+                deterministic=deterministic,
+            )
+            out_tokens.append(int(tok))
+            out_logits.append(np.asarray(window))
+            if i == max_new_tokens - 1:
+                break
+            tok_emb = self._embed_tokens(
+                self.params, jnp.asarray([[out_tokens[-1]]], jnp.int32)
+            )
+            if pos >= S:
+                # slide the window: re-prefill on the last S-1 embeddings
+                emb = jnp.concatenate([emb[:, 1:], tok_emb], axis=1)
+                full = np.ones((1, S), bool)
+                logits, cache = self._prefill(
+                    self.params, emb, jnp.asarray(full)
+                )
+                last_logits = logits[0, -1]
+                continue
+            step_logits, cache = self._decode(
+                self.params, cache, tok_emb, jnp.asarray([pos], jnp.int32)
+            )
+            # keep the embedding stream in sync for potential future slides
+            emb = emb.at[:, pos].set(tok_emb[:, 0])
+            last_logits = step_logits[0, 0]
+            pos += 1
+
+        return np.asarray(out_tokens, np.int64), np.stack(out_logits)
+
+    # ------------------------------------------------------ task-level API
+    def predict_text(
+        self,
+        example: Dict,
+        max_length: int = 20,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Greedy/sampled text continuation (reference predict_text)."""
+        ts = self.cfg.token_space
+        # NOTE: the prompt keeps its trailing separator — the reference's
+        # tokenize_input_dicts always appends one, so predict_text generates
+        # the first token from the SEP position (gato_policy.py:343-345,439).
+        tokens, logits = self.generate(
+            example,
+            max_new_tokens=max_length,
+            start=ts.start("text"),
+            end=ts.end("text"),
+            deterministic=deterministic,
+            rng=rng,
+        )
+        return logits, tokens - ts.start("text")
+
+    def predict_control(
+        self,
+        example: Dict,
+        *,
+        action_kind: str,          # 'continuous' | 'discrete'
+        action_tokens: int,
+        num_actions: Optional[int] = None,  # |A| for discrete envs
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Predict one action for the last (action-padded) timestep."""
+        ts = self.cfg.token_space
+        start = ts.start(action_kind)
+        end = ts.end(action_kind)
+        if action_kind == "discrete":
+            assert action_tokens == 1, "only 1 discrete action token supported"
+            assert num_actions is not None
+            end = start + num_actions - 1
+        tokens, _ = self.generate(
+            example,
+            max_new_tokens=action_tokens,
+            start=start,
+            end=end,
+            deterministic=deterministic,
+            drop_trailing=action_tokens,
+            rng=rng,
+        )
+        if action_kind == "discrete":
+            return int(tokens[0] - start)
+        return decode_np(
+            tokens.astype(np.int32),
+            n_bins=ts.continuous_tokens,
+            offset=ts.continuous_start,
+        )

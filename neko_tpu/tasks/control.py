@@ -1,0 +1,350 @@
+"""Control task: offline-RL episode sampling + live-env rollout evaluation.
+
+Sampling semantics mirror /root/reference/gato/tasks/control_task.py:
+
+* timestep budget = max_tokens // tokens_per_timestep (control_task.py:223)
+* main chunk: whole episode if it fits, else a uniform random slice — note
+  the reference's asymmetry: a fitting episode contributes ep_len-1 steps
+  (`end = ep_len - 1` exclusive-sliced, control_task.py:247-253) which we
+  reproduce for distribution parity
+* prompt types 'start' | 'end' | 'uniform' prepended at
+  training_prompt_len_proportion of the budget (control_task.py:268-292)
+* share_prompt_episodes=False rotates prompts one episode over
+  (control_task.py:239-241)
+* top-k-return episode filter for eval prompts (control_task.py:96-103)
+* evaluation: env rollout with a full-context 'end' prompt, per-step action
+  prediction and context trimming (control_task.py:106-173) — but through the
+  KV-cache Generator instead of full-context re-forwards per token
+
+Observation/action-space classification follows control_task.py:53-83,
+including image transforms (grayscale -> 3-channel, pad to patch multiple).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import gymnasium as gym
+import numpy as np
+
+from neko_tpu.data.episodes import EpisodeDataset
+from neko_tpu.inference.generator import Generator
+from neko_tpu.tasks.base import Task
+
+SUPPORTED_SPACES = (gym.spaces.Box, gym.spaces.Discrete)
+
+
+def tokens_per_space(space) -> int:
+    if isinstance(space, gym.spaces.Box):
+        return int(space.shape[0])
+    if isinstance(space, gym.spaces.Discrete):
+        return 1
+    raise NotImplementedError(f"Unsupported space: {space}")
+
+
+class ControlImageTransform:
+    """Grayscale->3ch, ensure HWC, zero-pad H/W to patch multiples.
+
+    Reference ControlImageTransform (control_task.py:345-389) works in CHW
+    for torch; the TPU packer consumes HWC (NHWC is the TPU conv layout).
+    """
+
+    def __init__(self, env, patch_size: int = 16):
+        space = env.observation_space
+        assert isinstance(space, gym.spaces.Box)
+        assert len(space.shape) in (2, 3)
+        self.patch_size = patch_size
+        self.grayscale = len(space.shape) == 2
+        if self.grayscale:
+            self.height, self.width = space.shape
+            self.channel_first = False
+        else:
+            assert space.shape[0] == 3 or space.shape[-1] == 3
+            self.channel_first = space.shape[0] == 3
+            if self.channel_first:
+                self.height, self.width = space.shape[1], space.shape[2]
+            else:
+                self.height, self.width = space.shape[0], space.shape[1]
+        self.padding_h = (-self.height) % patch_size
+        self.padding_w = (-self.width) % patch_size
+        self.out_height = self.height + self.padding_h
+        self.out_width = self.width + self.padding_w
+
+    def transform(self, images: np.ndarray) -> np.ndarray:
+        """[T, ...] -> [T, H', W', 3] float32."""
+        images = np.asarray(images, np.float32)
+        if self.grayscale:
+            images = images.reshape(-1, self.height, self.width, 1)
+            images = np.repeat(images, 3, axis=-1)
+        elif self.channel_first:
+            images = images.transpose(0, 2, 3, 1)
+        if self.padding_h or self.padding_w:
+            images = np.pad(
+                images,
+                ((0, 0), (0, self.padding_h), (0, self.padding_w), (0, 0)),
+            )
+        return images
+
+
+class ControlTask(Task):
+    def __init__(
+        self,
+        env_name: str,
+        env: gym.Env,
+        dataset: EpisodeDataset,
+        context_len: int,
+        patch_size: int = 16,
+        training_prompt_len_proportion: float = 0.5,
+        share_prompt_episodes: bool = True,
+        top_k_prompting: Optional[int] = None,
+        seed: Optional[int] = None,
+    ):
+        self.name = env_name
+        self.is_atari = "ALE" in env_name
+        self.env = env
+        self.dataset = dataset
+        self.context_len = context_len
+        self.rng = np.random.default_rng(seed)
+
+        act_space, obs_space = env.action_space, env.observation_space
+        assert isinstance(act_space, SUPPORTED_SPACES), f"unsupported {act_space}"
+        assert isinstance(obs_space, SUPPORTED_SPACES), f"unsupported {obs_space}"
+
+        # observation modality (control_task.py:53-65)
+        if isinstance(obs_space, gym.spaces.Box):
+            self.obs_str = "images" if len(obs_space.shape) in (2, 3) else "continuous_obs"
+        else:
+            self.obs_str = "discrete_obs"
+        self.image_transform = (
+            ControlImageTransform(env, patch_size) if self.obs_str == "images" else None
+        )
+
+        self.action_kind = (
+            "continuous" if isinstance(act_space, gym.spaces.Box) else "discrete"
+        )
+        self.action_str = f"{self.action_kind}_actions"
+        self.action_tokens = tokens_per_space(act_space)
+        self.num_actions = (
+            int(act_space.n) if isinstance(act_space, gym.spaces.Discrete) else None
+        )
+
+        if self.obs_str == "images":
+            t = self.image_transform
+            self.patches_per_timestep = (t.out_height // patch_size) * (
+                t.out_width // patch_size
+            )
+            self.observation_tokens = self.patches_per_timestep
+        else:
+            self.patches_per_timestep = 0
+            self.observation_tokens = tokens_per_space(obs_space)
+
+        self.tokens_per_timestep = self.action_tokens + self.observation_tokens + 1
+        assert context_len >= self.tokens_per_timestep, (
+            f"context must fit one timestep ({self.tokens_per_timestep}) "
+            f"for env {env_name}"
+        )
+
+        self.training_prompt_len_proportion = training_prompt_len_proportion
+        assert 0.0 <= training_prompt_len_proportion <= 1.0
+        self.share_prompt_episodes = share_prompt_episodes
+        self.prompt_types = ["start", "end", "uniform"]
+
+        self.top_k_prompting = top_k_prompting
+        if top_k_prompting is not None:
+            assert 0 < top_k_prompting <= dataset.total_episodes
+            returns = dataset.episode_returns()
+            self.top_ids = np.argsort(returns)[-top_k_prompting:]
+        else:
+            self.top_ids = None
+
+    # --------------------------------------------------------------- util
+    @property
+    def context_timesteps(self) -> int:
+        return self.context_len // self.tokens_per_timestep
+
+    @property
+    def required_patches(self) -> int:
+        """Static patch budget this task needs in the packer."""
+        return self.context_timesteps * self.patches_per_timestep
+
+    def _obs_array(self, observations: np.ndarray) -> np.ndarray:
+        if self.image_transform is not None:
+            return self.image_transform.transform(observations)
+        if self.obs_str == "discrete_obs":
+            return np.asarray(observations, np.int32)
+        return np.asarray(observations, np.float32)
+
+    def _act_array(self, actions: np.ndarray) -> np.ndarray:
+        if self.action_kind == "continuous":
+            a = np.asarray(actions, np.float32)
+        else:
+            a = np.asarray(actions, np.int32)
+        return a.reshape(a.shape[0], self.action_tokens)
+
+    # ------------------------------------------------------------ sampling
+    def sample_batch(
+        self,
+        vanilla_batch_size: int,
+        prompted_batch_sizes: Dict[str, int],
+        max_tokens: int = 1024,
+    ) -> List[Dict]:
+        """Expand vanilla + per-prompt-type counts into per-example lists
+        (reference control_task.py:175-207)."""
+        prompt_proportions: List[float] = []
+        prompt_types: List[Optional[str]] = []
+        for _ in range(vanilla_batch_size):
+            prompt_proportions.append(0.0)
+            prompt_types.append(None)
+        for ptype, n in prompted_batch_sizes.items():
+            assert ptype in self.prompt_types
+            prompt_proportions += [self.training_prompt_len_proportion] * n
+            prompt_types += [ptype] * n
+        return self.sample_batch_configurable(
+            len(prompt_proportions),
+            prompt_proportions,
+            prompt_types,
+            max_tokens=max_tokens,
+            share_prompt_episodes=self.share_prompt_episodes,
+        )
+
+    def sample_batch_configurable(
+        self,
+        batch_size: int,
+        prompt_proportions: List[float],
+        prompt_types: List[Optional[str]],
+        max_tokens: int = 1024,
+        share_prompt_episodes: bool = True,
+        ep_ids: Optional[np.ndarray] = None,
+    ) -> List[Dict]:
+        """Reference control_task.py:209-325, numpy end to end."""
+        num_timesteps = max_tokens // self.tokens_per_timestep
+
+        episodes = self.dataset.sample_episodes(
+            batch_size, rng=self.rng, episode_indices=ep_ids
+        )
+        main_episodes = episodes
+        prompt_episodes = (
+            episodes if share_prompt_episodes else episodes[1:] + episodes[:1]
+        )
+
+        out: List[Dict] = []
+        obs_list, act_list, prompt_budget = [], [], []
+        for i, ep in enumerate(main_episodes):
+            timesteps_for_main = round(num_timesteps * (1 - prompt_proportions[i]))
+            prompt_budget.append(num_timesteps - timesteps_for_main)
+            ep_len = ep.total_timesteps
+            if timesteps_for_main >= ep_len:
+                start, end = 0, ep_len - 1  # reference keeps ep_len-1 steps
+            else:
+                start = int(self.rng.integers(0, ep_len - timesteps_for_main))
+                end = start + timesteps_for_main
+            obs_list.append(ep.observations[start:end])
+            act_list.append(ep.actions[start:end])
+
+        for i, ep in enumerate(prompt_episodes):
+            n_prompt = prompt_budget[i]
+            if n_prompt <= 0:
+                continue
+            ptype = prompt_types[i]
+            assert ptype in self.prompt_types, f"invalid prompt type {ptype}"
+            ep_len = ep.total_timesteps
+            if n_prompt >= ep_len:
+                p_start, p_end = 0, ep_len - 1
+            elif ptype == "start":
+                p_start, p_end = 0, n_prompt - 1
+            elif ptype == "end":
+                p_end = ep_len - 1
+                p_start = p_end - n_prompt + 1
+            else:  # uniform
+                p_start = int(self.rng.integers(0, ep_len - n_prompt))
+                p_end = p_start + n_prompt - 1
+            obs_list[i] = np.concatenate(
+                [ep.observations[p_start : p_end + 1], obs_list[i]], axis=0
+            )
+            act_list[i] = np.concatenate(
+                [ep.actions[p_start : p_end + 1], act_list[i]], axis=0
+            )
+
+        for obs, act in zip(obs_list, act_list):
+            out.append(
+                {
+                    self.obs_str: self._obs_array(obs),
+                    self.action_str: self._act_array(act),
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------- evaluation
+    def evaluate(
+        self,
+        generator: Generator,
+        n_iterations: int = 10,
+        deterministic: bool = True,
+        promptless_eval: bool = False,
+    ) -> Dict[str, float]:
+        returns, clipped_returns, ep_lens = [], [], []
+        ctx_ts = generator.cfg.context_len // self.tokens_per_timestep
+
+        for it in range(n_iterations):
+            observation, _ = self.env.reset()
+
+            if promptless_eval:
+                obs_hist = None
+                act_hist = None
+            else:
+                prompt = self.sample_batch_configurable(
+                    1, [1.0], ["end"],
+                    max_tokens=generator.cfg.context_len,
+                    share_prompt_episodes=True,
+                    ep_ids=self.top_ids,
+                )[0]
+                obs_hist = prompt[self.obs_str]
+                act_hist = prompt[self.action_str]
+
+            done = False
+            ep_return = ep_clip = 0.0
+            ep_len = 0
+            while not done:
+                new_obs = self._obs_array(np.asarray(observation)[None])
+                new_act = np.zeros(
+                    (1, self.action_tokens),
+                    np.float32 if self.action_kind == "continuous" else np.int32,
+                )
+                if obs_hist is None:
+                    obs_hist, act_hist = new_obs, new_act
+                else:
+                    obs_hist = np.concatenate([obs_hist, new_obs], axis=0)
+                    act_hist = np.concatenate([act_hist, new_act], axis=0)
+                obs_hist = obs_hist[-ctx_ts:]
+                act_hist = act_hist[-ctx_ts:]
+
+                example = {self.obs_str: obs_hist, self.action_str: act_hist}
+                action = generator.predict_control(
+                    example,
+                    action_kind=self.action_kind,
+                    action_tokens=self.action_tokens,
+                    num_actions=self.num_actions,
+                    deterministic=deterministic,
+                    rng=None,
+                )
+                act_hist[-1] = action
+                env_action = (
+                    int(action) if self.action_kind == "discrete"
+                    else np.asarray(action, np.float32)
+                )
+                observation, reward, term, trunc, _ = self.env.step(env_action)
+                done = term or trunc
+                ep_return += reward
+                ep_clip += float(np.clip(reward, -1.0, 1.0))
+                ep_len += 1
+            returns.append(ep_return)
+            clipped_returns.append(ep_clip)
+            ep_lens.append(ep_len)
+
+        metrics = {
+            "mean_return": float(np.mean(returns)),
+            "mean_episode_len": float(np.mean(ep_lens)),
+        }
+        if self.is_atari:
+            metrics["mean_clipped_return"] = float(np.mean(clipped_returns))
+        return metrics

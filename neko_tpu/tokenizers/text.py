@@ -54,7 +54,11 @@ def get_text_tokenizer(model_name: str = "gpt2"):
     try:
         from transformers import AutoTokenizer
 
-        tok = AutoTokenizer.from_pretrained(model_name)
+        try:
+            # avoid minutes of network retries in offline environments
+            tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
+        except Exception:
+            tok = AutoTokenizer.from_pretrained(model_name)
         tok.is_fallback = False
     except Exception:
         tok = ByteFallbackTokenizer()

@@ -1,0 +1,127 @@
+"""TrainingArgs: the public CLI contract.
+
+Field names and defaults mirror the reference flag surface
+(/root/reference/gato/training/arguments.py:5-138) so reference command lines
+work unchanged, plus TPU-framework extensions at the bottom (mesh layout,
+attention impl, packing budget).  Torch-only flags (device, mixed_precision
+names) are kept for compatibility and mapped onto JAX equivalents.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Literal, Optional
+
+
+@dataclass
+class TrainingArgs:
+    # Device / precision (reference:20-27)
+    cpu: bool = field(default=False, metadata={"help": "Run on CPU instead of TPU."})
+    device: Literal["cpu", "tpu", "cuda", "xpu", "mps", "npu"] = field(
+        default="tpu", metadata={"help": "Accelerator; cuda/xpu/mps/npu map to the JAX default backend."}
+    )
+    mixed_precision: Literal["no", "fp16", "bf16", "fp8"] = field(
+        default="bf16", metadata={"help": "bf16 is native on TPU; 'no' computes in fp32."}
+    )
+
+    # Input & tokenization (reference:29-44)
+    sequence_length: int = field(default=1024, metadata={"help": "Context length.", "aliases": ["-k"]})
+    patch_size: int = field(default=16)
+    resid_mid_channels: int = field(default=128)
+    num_groups: int = field(default=32)
+    patch_position_vocab_size: int = field(default=128)
+    disable_patch_pos_encoding: bool = field(default=False)
+    disable_inner_pos_encoding: bool = field(default=False)
+    mu: int = field(default=100)
+    M: int = field(default=256)
+    continuous_tokens: int = field(default=1024)
+    discrete_tokens: int = field(default=1024)
+
+    # Transformer architecture (reference:46-55)
+    tokenizer_model_name: str = field(default="gpt2")
+    pretrained_lm: Optional[str] = field(default=None, metadata={"help": "Initialize from a pretrained HF GPT-2; overrides embed_dim/layers/heads."})
+    flash: bool = field(default=True, metadata={"help": "Use the Pallas flash-attention kernel on TPU."})
+    init_checkpoint: Optional[str] = field(default=None, metadata={"help": "Load weights (not args) from a checkpoint."})
+    embed_dim: int = field(default=768)
+    layers: int = field(default=8)
+    heads: int = field(default=24)
+    activation_fn: str = field(default="gelu")
+
+    # LoRA (reference:57-61)
+    lora: bool = field(default=False)
+    lora_r: int = field(default=8)
+    lora_alpha: int = field(default=32)
+    lora_dropout: float = field(default=0.1)
+
+    # Training hyperparameters (reference:63-96)
+    text_prop: float = field(default=0.0)
+    caption_prop: float = field(default=0.0)
+    vqa_prop: float = field(default=0.0)
+    gradient_accumulation_steps: int = field(default=1)
+    batch_size: int = field(default=512)
+    dropout: float = field(default=0.1)
+    beta_1: float = field(default=0.9)
+    beta_2: float = field(default=0.95)
+    adam_eps: float = field(default=1e-8)
+    weight_decay: float = field(default=0.1)
+    grad_norm_clip: float = field(default=1.0)
+    disable_grad_clip: bool = field(default=False)
+    warmup_steps: int = field(default=15000)
+    init_lr: float = field(default=1e-7)
+    learning_rate: float = field(default=1e-4)
+    min_factor: float = field(default=10.0)
+    disable_cosine_decay: bool = field(default=False)
+    training_steps: int = field(default=1_000_000)
+    log_eval_freq: int = field(default=100_000)
+    pad_seq: bool = field(default=False)
+
+    # Evaluation (reference:91-96)
+    eval_episodes: int = field(default=10)
+    eval_mode: Literal["deterministic", "stochastic"] = field(default="deterministic")
+    promptless_eval: bool = field(default=False)
+    eval_text_num_examples: int = field(default=100)
+    eval_text_log_examples: bool = field(default=False)
+
+    # Datasets / envs (reference:98-123)
+    control_datasets: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    text_datasets: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    text_datasets_paths: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    caption_dataset: str = field(default="")
+    caption_train_data: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    caption_test_data: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    test_data_prop: float = field(default=0.1)
+    vqa_dataset: str = field(default="")
+    vqa_train_data: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    vqa_test_data: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    train_img_name_prefix: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    train_img_file_name_len: List[int] = field(default_factory=list, metadata={"nargs": "+"})
+    test_img_name_prefix: List[str] = field(default_factory=list, metadata={"nargs": "+"})
+    test_img_file_name_len: List[int] = field(default_factory=list, metadata={"nargs": "+"})
+    questions_file: str = field(default="questions.json")
+    annotations_file: str = field(default="annotations.json")
+    eval_caption_num_examples: int = field(default=100)
+    eval_caption_log_examples: bool = field(default=False)
+    eval_vqa_num_examples: int = field(default=100)
+    eval_vqa_log_examples: bool = field(default=False)
+
+    # Prompt sampling (reference:125-129)
+    prompt_ep_proportion: float = field(default=0.25)
+    prompt_len_proportion: float = field(default=0.5)
+    unique_prompt_episodes: bool = field(default=False)
+    top_k: Optional[int] = field(default=None)
+
+    # Logging (reference:131-133)
+    use_wandb: bool = field(default=False)
+    wandb_project: str = field(default="neko-tpu")
+
+    # Saving (reference:135-138)
+    save_model: bool = field(default=False)
+    save_mode: Literal["checkpoint", "last"] = field(default="last")
+    save_dir: str = field(default="models")
+
+    # ---- TPU-framework extensions (not in the reference) ----
+    mesh_model_axis: int = field(default=1, metadata={"help": "Tensor-parallel degree; data axis = n_devices / this."})
+    max_patches: int = field(default=-1, metadata={"help": "Static per-example image-patch budget; -1 = derive from tasks."})
+    remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
+    seed: int = field(default=42)
+    log_jsonl: bool = field(default=True, metadata={"help": "Append metrics to <save_dir>/<exp>/metrics.jsonl."})

@@ -1,0 +1,261 @@
+"""Training orchestration: mixture sampling, train/eval cadence, checkpoints.
+
+Mirrors the reference Trainer (/root/reference/gato/training/trainer.py):
+
+* train() = (training_steps // log_eval_freq) iterations of N train steps +
+  per-task evaluation + logging + optional checkpoint (trainer.py:43-125)
+* per-step mixture: batch split by text/caption/vqa props with the remainder
+  dispensed via a multinomial over fractional residuals (trainer.py:134-154)
+* control batch: tasks assigned round-robin without replacement, a
+  prompt_ep_proportion subset of slots prompted, half 'end' half 'uniform'
+  (trainer.py:211-247)
+
+TPU-native differences: examples are packed host-side into one static-shape
+PackedBatch and dispatched to a single pjit train step (no per-modality python
+in the device graph); losses are fetched asynchronously; evaluation uses the
+KV-cache Generator.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from neko_tpu.data.batch import to_device_batch
+from neko_tpu.data.packing import SequencePacker
+from neko_tpu.inference.generator import Generator
+from neko_tpu.parallel import sharding as shd
+from neko_tpu.tasks.base import Task
+from neko_tpu.tasks.control import ControlTask
+from neko_tpu.tasks.text import TextTask
+from neko_tpu.training.train_state import TrainContext, TrainState
+from neko_tpu.utils.checkpoint import save_checkpoint
+from neko_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    def __init__(
+        self,
+        ctx: TrainContext,
+        tasks: List[Task],
+        exp_name: str,
+        args,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.ctx = ctx
+        self.tasks = tasks
+        self.args = args
+        self.exp_name = exp_name
+        self.exp_dir = os.path.join(args.save_dir, exp_name)
+        self.packer = SequencePacker(ctx.model_cfg)
+        self.logger = logger or MetricsLogger(
+            exp_dir=self.exp_dir if (args.save_model or args.log_jsonl) else None,
+            use_wandb=args.use_wandb,
+            wandb_project=args.wandb_project,
+            exp_name=exp_name,
+            config=args.__dict__,
+            jsonl=args.log_jsonl,
+        )
+        self.rng = np.random.default_rng(args.seed)
+        self.deterministic = args.eval_mode == "deterministic"
+        self.steps = 0
+        self.state: Optional[TrainState] = None
+        self.start_time = None
+
+        self.control_tasks = [t for t in tasks if isinstance(t, ControlTask)]
+        self.text_tasks = [t for t in tasks if isinstance(t, TextTask)]
+        # caption/vqa tasks are matched by duck-typed task_kind
+        self.caption_tasks = [t for t in tasks if getattr(t, "task_kind", "") == "caption"]
+        self.vqa_tasks = [t for t in tasks if getattr(t, "task_kind", "") == "vqa"]
+
+    # ----------------------------------------------------------- lifecycle
+    def init_state(self, init_state: Optional[TrainState] = None):
+        if init_state is not None:
+            self.state = init_state
+            return
+        batch = self.build_batch()
+        self.state = self.ctx.init_state(batch)
+
+    def train(self):
+        self.start_time = time.time()
+        if self.state is None:
+            self.init_state()
+        iters = self.args.training_steps // self.args.log_eval_freq
+        for i in range(iters):
+            logs = self.train_iteration(self.args.log_eval_freq, i)
+            self.logger.log(logs, step=self.steps, header=f"Iteration {i}")
+        if self.args.save_model and self.args.save_mode == "last":
+            save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+
+    def train_iteration(self, num_steps: int, it: int) -> Dict:
+        logs: Dict = {}
+        train_start = time.time()
+        losses = []
+        sample_time = 0.0
+        step_logs: Dict = {}
+        for _ in range(num_steps):
+            self.steps += 1
+            loss, step_logs = self.train_step()
+            losses.append(loss)
+        sample_time = step_logs.get("time/sample_batch", 0.0)
+        losses = [float(l) for l in losses]  # blocks on the last device value
+        logs.update(step_logs)
+        logs["time/training"] = time.time() - train_start
+
+        eval_start = time.time()
+        logs.update(self.evaluate())
+        logs["time/total"] = time.time() - self.start_time
+        logs["time/evaluation"] = time.time() - eval_start
+        logs["training/train_loss_mean"] = float(np.mean(losses))
+        logs["training/train_loss_std"] = float(np.std(losses))
+
+        if self.args.save_model and self.args.save_mode == "checkpoint":
+            save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+        return logs
+
+    # ------------------------------------------------------------ training
+    def _mixture_sizes(self) -> Dict[str, int]:
+        """Reference trainer.py:134-154."""
+        bs = self.args.batch_size
+        text_prop = self.args.text_prop
+        caption_prop = self.args.caption_prop
+        vqa_prop = self.args.vqa_prop
+        control_prop = 1 - text_prop - caption_prop - vqa_prop
+        sizes = {
+            "text": int(text_prop * bs),
+            "caption": int(caption_prop * bs),
+            "vqa": int(vqa_prop * bs),
+            "control": int(control_prop * bs),
+        }
+        remainder = bs - sum(sizes.values())
+        if remainder > 0:
+            residuals = np.array(
+                [
+                    text_prop * bs - sizes["text"],
+                    caption_prop * bs - sizes["caption"],
+                    vqa_prop * bs - sizes["vqa"],
+                    control_prop * bs - sizes["control"],
+                ]
+            )
+            total = residuals.sum()
+            probs = residuals / total if total > 0 else np.ones(4) / 4
+            idx = self.rng.choice(4, p=probs)
+            sizes[["text", "caption", "vqa", "control"][idx]] += remainder
+        assert sum(sizes.values()) == bs
+        return sizes
+
+    def build_batch(self):
+        """Sample the task mixture and pack to a device batch."""
+        sizes = self._mixture_sizes()
+        examples: List[Dict] = []
+        if sizes["text"] > 0:
+            for task in self.text_tasks:
+                examples += task.sample_batch(sizes["text"])
+        if sizes["caption"] > 0:
+            for task in self.caption_tasks:
+                examples += task.sample_batch(sizes["caption"])
+        if sizes["vqa"] > 0:
+            for task in self.vqa_tasks:
+                examples += task.sample_batch(sizes["vqa"])
+        if sizes["control"] > 0:
+            examples += self.sample_control_batch(sizes["control"])
+        arrays = self.packer.pack_batch(examples)
+        arrays.pop("lengths")
+        batch = to_device_batch(arrays)
+        return shd.shard_batch(self.ctx.mesh, batch)
+
+    def train_step(self):
+        logs: Dict = {}
+        logs["training/learning_rate"] = self.ctx.current_lr(self.steps)
+        t0 = time.time()
+        batch = self.build_batch()
+        logs["time/sample_batch"] = time.time() - t0
+        self.state, loss = self.ctx.train_step(self.state, batch)
+        return loss, logs
+
+    def sample_control_batch(self, batch_size: int) -> List[Dict]:
+        """Reference trainer.py:211-247."""
+        tasks = self.control_tasks
+        n_tasks = len(tasks)
+        if n_tasks == 0:
+            raise ValueError("control batch requested but no control tasks")
+
+        sampled: List[int] = []
+        while len(sampled) < batch_size:
+            take = min(n_tasks, batch_size - len(sampled))
+            sampled += list(self.rng.choice(n_tasks, size=take, replace=False))
+
+        n_prompted = round(batch_size * self.args.prompt_ep_proportion)
+        prompt_slots = list(self.rng.choice(batch_size, size=n_prompted, replace=False))
+        end_slots = set(
+            self.rng.choice(prompt_slots, size=round(len(prompt_slots) / 2), replace=False)
+            if prompt_slots else []
+        )
+        uniform_slots = set(s for s in prompt_slots if s not in end_slots)
+
+        out: List[Dict] = []
+        for i, task in enumerate(tasks):
+            vanilla = 0
+            prompted: Dict[str, int] = {}
+            for slot, task_idx in enumerate(sampled):
+                if task_idx != i:
+                    continue
+                if slot in end_slots:
+                    prompted["end"] = prompted.get("end", 0) + 1
+                elif slot in uniform_slots:
+                    prompted["uniform"] = prompted.get("uniform", 0) + 1
+                else:
+                    vanilla += 1
+            if vanilla + sum(prompted.values()) > 0:
+                out += task.sample_batch(
+                    vanilla, prompted, max_tokens=self.args.sequence_length
+                )
+        return out
+
+    # ---------------------------------------------------------- evaluation
+    def evaluate(self) -> Dict:
+        logs: Dict = {}
+        gen = Generator(self.ctx.model, self.state.params, self.packer)
+        for task in self.tasks:
+            if isinstance(task, ControlTask):
+                if self.args.eval_episodes > 0:
+                    m = task.evaluate(
+                        gen,
+                        n_iterations=self.args.eval_episodes,
+                        deterministic=self.deterministic,
+                        promptless_eval=self.args.promptless_eval,
+                    )
+                    for k, v in m.items():
+                        logs[f"evaluation/{task.name}/{k}"] = v
+            elif isinstance(task, TextTask):
+                m = task.evaluate(
+                    gen,
+                    num_examples_to_test=self.args.eval_text_num_examples,
+                    deterministic=self.deterministic,
+                    log_examples_to_output=self.args.eval_text_log_examples,
+                )
+                for k, v in m.items():
+                    logs[f"evaluation/text/{k}"] = v
+            elif getattr(task, "task_kind", "") == "caption":
+                m = task.evaluate(
+                    gen,
+                    num_examples_to_test=self.args.eval_caption_num_examples,
+                    deterministic=self.deterministic,
+                    log_examples_to_output=self.args.eval_caption_log_examples,
+                )
+                for k, v in m.items():
+                    logs[f"evaluation/caption/{k}"] = v
+            elif getattr(task, "task_kind", "") == "vqa":
+                m = task.evaluate(
+                    gen,
+                    num_examples_to_test=self.args.eval_vqa_num_examples,
+                    deterministic=self.deterministic,
+                    log_examples_to_output=self.args.eval_vqa_log_examples,
+                )
+                for k, v in m.items():
+                    logs[f"evaluation/VQA/{k}"] = v
+        return logs

@@ -1,0 +1,76 @@
+"""Checkpointing: Orbax state save/load + args.json sidecar.
+
+The reference writes `args.json` once plus `checkpoint_{steps}.pt` state_dicts
+with no optimizer/RNG state (utils/utils.py:19-32 — resume is approximate by
+design).  Here the FULL train state (params + AdamW moments + step + RNG) is
+checkpointed via Orbax so resume is exact, while keeping the same directory
+contract: <save_dir>/<exp_name>/args.json + checkpoint_<steps>/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_args(exp_dir: str, args: Any) -> None:
+    os.makedirs(exp_dir, exist_ok=True)
+    path = os.path.join(exp_dir, "args.json")
+    if os.path.exists(path):
+        return  # reference writes args.json only once (utils.py:25-28)
+    d = dataclasses.asdict(args) if dataclasses.is_dataclass(args) else dict(args)
+    with open(path, "w") as fh:
+        json.dump(d, fh, indent=2)
+
+
+def load_args_dict(exp_dir_or_file: str) -> dict:
+    path = exp_dir_or_file
+    if os.path.isdir(path):
+        path = os.path.join(path, "args.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def save_checkpoint(exp_dir: str, state: Any, step: int, args: Any = None) -> str:
+    """Write <exp_dir>/checkpoint_<step>/ and return its path."""
+    if args is not None:
+        save_args(exp_dir, args)
+    path = os.path.join(os.path.abspath(exp_dir), f"checkpoint_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(exp_dir: str) -> Optional[str]:
+    if not os.path.isdir(exp_dir):
+        return None
+    steps = []
+    for name in os.listdir(exp_dir):
+        if name.startswith("checkpoint_"):
+            try:
+                steps.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(exp_dir, f"checkpoint_{max(steps)}")
+
+
+def load_checkpoint(path: str, abstract_state: Any) -> Any:
+    """Restore into the sharded layout described by `abstract_state`
+    (a pytree of jax.ShapeDtypeStruct with shardings, or a concrete state)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), abstract_state)
+
+
+def load_params_only(path: str, abstract_state: Any) -> Any:
+    """Weights-only warm start (reference --init_checkpoint semantics,
+    train.py:114-117): restore the full state but return just params."""
+    return load_checkpoint(path, abstract_state).params

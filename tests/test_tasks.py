@@ -1,0 +1,197 @@
+"""Task-layer tests: synthetic envs, episode store, control sampling,
+generator decode, text task — all CPU, no external deps."""
+
+import jax
+import numpy as np
+import pytest
+
+from neko_tpu.config import ModelConfig
+from neko_tpu.data.batch import to_device_batch
+from neko_tpu.data.episodes import H5EpisodeDataset, save_h5
+from neko_tpu.data.packing import SequencePacker
+from neko_tpu.envs.setup_env import expand_dataset_names, load_env_dataset
+from neko_tpu.envs.synthetic import (
+    SyntheticContinuousEnv,
+    SyntheticImageEnv,
+    collect_expert_dataset,
+)
+from neko_tpu.inference.generator import Generator
+from neko_tpu.models.policy import NekoModel
+from neko_tpu.tasks.control import ControlTask
+from neko_tpu.tasks.text import TextTask
+
+CFG = ModelConfig(
+    embed_dim=32,
+    layers=1,
+    heads=2,
+    dropout=0.0,
+    context_len=48,
+    max_patches=4,
+    dtype="float32",
+    text_tokens=256,
+    continuous_tokens=64,
+    discrete_tokens=64,
+)
+
+
+def make_generator(cfg=CFG):
+    model = NekoModel(cfg)
+    packer = SequencePacker(cfg)
+    arrays = packer.pack_batch([{"text": [1, 2, 3]}])
+    arrays.pop("lengths")
+    params = model.init({"params": jax.random.key(0)}, to_device_batch(arrays))[
+        "params"
+    ]
+    return Generator(model, params, packer)
+
+
+# ------------------------------------------------------------------ envs
+def test_synthetic_dataset_roundtrip(tmp_path):
+    env = SyntheticContinuousEnv()
+    ds = collect_expert_dataset(env, n_episodes=4, env_id="synth")
+    assert ds.total_episodes == 4
+    ep = ds.get_episode(0)
+    assert ep.total_timesteps == env.horizon
+    assert ep.observations.shape[0] == env.horizon + 1  # minari convention
+
+    path = str(tmp_path / "ds.h5")
+    save_h5(path, [ds.get_episode(i) for i in range(4)], env_id="neko-synth-continuous-v0")
+    h5ds = H5EpisodeDataset(path)
+    assert h5ds.total_episodes == 4
+    np.testing.assert_array_equal(
+        h5ds.get_episode(2).actions, ds.get_episode(2).actions
+    )
+
+
+def test_load_env_dataset_synthetic_and_h5(tmp_path):
+    env, ds = load_env_dataset("neko-synth-discrete-v0", {"n_episodes": 3})
+    assert ds.total_episodes == 3
+    assert env.action_space.n == 4
+
+    path = str(tmp_path / "eps.h5")
+    save_h5(path, [ds.get_episode(i) for i in range(3)], env_id="neko-synth-discrete-v0")
+    env2, ds2 = load_env_dataset(path)
+    assert ds2.total_episodes == 3
+
+
+def test_keyword_expansion():
+    names = expand_dataset_names(["TOP1_ATARI_TEST", "foo"])
+    assert names[-1] == "foo" and len(names) == 6
+    assert "Pong-top1-s1-v0" in names
+
+
+def test_minari_missing_is_informative():
+    with pytest.raises(ImportError, match="minari"):
+        load_env_dataset("d4rl_halfcheetah-expert-v2")
+
+
+# ----------------------------------------------------------------- control
+def test_control_task_sampling_budget():
+    env, ds = load_env_dataset("neko-synth-continuous-v0", {"n_episodes": 8})
+    task = ControlTask("synth", env, ds, context_len=CFG.context_len, seed=0)
+    assert task.tokens_per_timestep == 8 + 2 + 1
+    examples = task.sample_batch(2, {"end": 1, "uniform": 1}, max_tokens=CFG.context_len)
+    assert len(examples) == 4
+    packer = SequencePacker(CFG)
+    for ex in examples:
+        pe = packer.pack_example(ex)
+        assert pe.length <= CFG.context_len
+        assert ex["continuous_obs"].shape[1] == 8
+        assert ex["continuous_actions"].shape[1] == 2
+
+
+def test_control_task_prompt_types():
+    env, ds = load_env_dataset("neko-synth-continuous-v0", {"n_episodes": 4})
+    task = ControlTask("synth", env, ds, context_len=CFG.context_len, seed=1)
+    for ptype in ("start", "end", "uniform"):
+        ex = task.sample_batch_configurable(
+            1, [0.5], [ptype], max_tokens=CFG.context_len
+        )[0]
+        assert ex["continuous_obs"].shape[0] <= task.context_timesteps
+
+
+def test_control_image_task():
+    env, ds = load_env_dataset("neko-synth-image-v0", {"n_episodes": 4})
+    task = ControlTask("synth-img", env, ds, context_len=CFG.context_len, seed=0)
+    assert task.obs_str == "images"
+    assert task.patches_per_timestep == 1  # 16x16 -> one patch
+    ex = task.sample_batch(1, {}, max_tokens=CFG.context_len)[0]
+    assert ex["images"].ndim == 4 and ex["images"].shape[-1] == 3
+
+
+def test_control_rollout_eval():
+    env, ds = load_env_dataset(
+        "neko-synth-continuous-v0", {"n_episodes": 4, "horizon": 6}
+    )
+    task = ControlTask("synth", env, ds, context_len=CFG.context_len, seed=0)
+    gen = make_generator()
+    metrics = task.evaluate(gen, n_iterations=1, deterministic=True)
+    assert "mean_return" in metrics and "mean_episode_len" in metrics
+    assert metrics["mean_episode_len"] == 6
+
+
+def test_control_rollout_discrete_env():
+    env, ds = load_env_dataset(
+        "neko-synth-discrete-v0", {"n_episodes": 4, "horizon": 5}
+    )
+    task = ControlTask("synth-d", env, ds, context_len=CFG.context_len, seed=0)
+    gen = make_generator()
+    metrics = task.evaluate(gen, n_iterations=1, promptless_eval=True)
+    assert metrics["mean_episode_len"] == 5
+
+
+# --------------------------------------------------------------- generator
+def test_generator_restricted_range():
+    gen = make_generator()
+    ts = CFG.token_space
+    tokens, logits = gen.generate(
+        {"text": [1, 2, 3]},
+        max_new_tokens=5,
+        start=ts.start("discrete"),
+        end=ts.end("discrete"),
+    )
+    assert tokens.shape == (5,)
+    assert ((tokens >= ts.start("discrete")) & (tokens <= ts.end("discrete"))).all()
+    assert logits.shape == (5, ts.discrete_tokens)
+
+
+def test_generator_sampling_reproducible():
+    gen = make_generator()
+    ts = CFG.token_space
+    t1, _ = gen.generate(
+        {"text": [1, 2, 3]}, max_new_tokens=4, start=0, end=ts.end("text"),
+        deterministic=False, rng=jax.random.key(7),
+    )
+    t2, _ = gen.generate(
+        {"text": [1, 2, 3]}, max_new_tokens=4, start=0, end=ts.end("text"),
+        deterministic=False, rng=jax.random.key(7),
+    )
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_generator_context_slide():
+    """Generation past the context window slides instead of crashing."""
+    gen = make_generator()
+    S = CFG.context_len
+    prompt = list(range(1, S - 5))  # long prompt: S-6 tokens + SEP
+    tokens, _ = gen.generate(
+        {"text": prompt}, max_new_tokens=10, start=0, end=255,
+    )
+    assert tokens.shape == (10,)
+
+
+# -------------------------------------------------------------------- text
+def test_text_task_synthetic():
+    task = TextTask(["synthetic"], ["synthetic"], context_length=CFG.context_len)
+    batch = task.sample_batch(4)
+    assert len(batch) == 4
+    assert all(len(b["text"]) > 0 for b in batch)
+
+
+def test_text_task_evaluate():
+    task = TextTask(["synthetic"], ["synthetic"], context_length=CFG.context_len, seed=0)
+    gen = make_generator()
+    # fallback byte tokenizer ids may exceed the tiny test vocab; clamp rows
+    task._data["test"] = ["aab abb bba", "abc cba bac"]
+    metrics = task.evaluate(gen, num_examples_to_test=2)
+    assert np.isfinite(metrics["loss"]) and metrics["perplexity"] > 0
