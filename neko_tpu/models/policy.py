@@ -39,6 +39,38 @@ from neko_tpu.models.transformer import Transformer
 _INIT = nn.initializers.normal(stddev=0.02)
 
 
+class LMHead(nn.Module):
+    """Untied vocab head (reference predict_token, gato_policy.py:122).
+
+    Exposes both a plain projection and a fused chunked-CE loss that avoids
+    materializing [B, S, V] logits (see neko_tpu/ops/losses.py).  Param path
+    is predict_token/kernel, identical to the nn.Dense layout.
+    """
+
+    in_features: int
+    features: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", _INIT, (self.in_features, self.features), self.param_dtype
+        )
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return x @ self.kernel.astype(self.dtype)
+
+    def loss(
+        self, hidden, tokens, input_mask, target_mask, valid_vocab
+    ) -> jnp.ndarray:
+        from neko_tpu.ops.losses import chunked_masked_xent
+
+        return chunked_masked_xent(
+            hidden, self.kernel, tokens, input_mask, target_mask,
+            valid_vocab=valid_vocab,
+        )
+
+
 class NekoModel(nn.Module):
     cfg: ModelConfig
 
@@ -63,10 +95,9 @@ class NekoModel(nn.Module):
             )
         self.embed_dropout = nn.Dropout(cfg.dropout)
         self.transformer = Transformer(cfg, name="transformer")
-        self.predict_token = nn.Dense(
-            cfg.padded_vocab_size,  # padded; loss/decode mask the tail
-            use_bias=False,
-            kernel_init=_INIT,
+        self.predict_token = LMHead(
+            in_features=cfg.embed_dim,
+            features=cfg.padded_vocab_size,  # padded; loss/decode mask the tail
             dtype=cfg.activation_dtype,
             param_dtype=cfg.params_dtype,
             name="predict_token",
@@ -105,22 +136,43 @@ class NekoModel(nn.Module):
         *,
         deterministic: bool = True,
         compute_loss: bool = False,
+        return_logits: Optional[bool] = None,
     ):
+        """Returns (logits, loss).
+
+        When compute_loss=True and logits are not requested, the loss is
+        computed by the fused chunked-CE head and logits come back as None —
+        the full [B, S, V] fp32 logits tensor is never materialized (the
+        dominant HBM-bandwidth cost of the naive implementation).
+        """
+        if return_logits is None:
+            return_logits = not compute_loss
         emb = self.embed_batch(batch, deterministic=deterministic)
         emb = self.embed_dropout(emb, deterministic=deterministic)
         hidden = self.transformer(
             emb, batch.input_mask, deterministic=deterministic
         )
-        logits = self.predict_token(hidden).astype(jnp.float32)
+        logits = None
+        if return_logits:
+            logits = self.predict_token(hidden).astype(jnp.float32)
         if not compute_loss:
             return logits, None
-        loss = masked_next_token_loss(
-            logits,
-            batch.tokens,
-            batch.input_mask,
-            batch.target_mask,
-            valid_vocab=self.cfg.vocab_size,
-        )
+        if return_logits:
+            loss = masked_next_token_loss(
+                logits,
+                batch.tokens,
+                batch.input_mask,
+                batch.target_mask,
+                valid_vocab=self.cfg.vocab_size,
+            )
+        else:
+            loss = self.predict_token.loss(
+                hidden,
+                batch.tokens,
+                batch.input_mask,
+                batch.target_mask,
+                valid_vocab=self.cfg.vocab_size,
+            )
         return logits, loss
 
     # -------------------------------------------------------------- decode

@@ -113,15 +113,25 @@ class Attention(nn.Module):
                 cm = self.variable("cache", "mask", lambda: input_mask)
                 ck.value, cv.value, cm.value = k, v, input_mask
 
-            causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
-            allowed = causal[None, None, :, :] & input_mask[:, None, None, :]
-            bias = jnp.where(allowed, 0.0, _BIG_NEG).astype(jnp.float32)
-            dropout_rng = None
-            if not deterministic and cfg.dropout > 0.0:
-                dropout_rng = self.make_rng("dropout")
-            out = _dot_product_attention(
-                q, k, v, bias, dropout_rng, cfg.dropout, deterministic
+            from neko_tpu.ops import attention as attn_ops
+
+            use_flash = (
+                cfg.attention_impl in ("auto", "flash")
+                and attn_ops.flash_supported()
+                and attn_ops.flash_shape_ok(S, hd, H)
             )
+            if use_flash:
+                out = attn_ops.tpu_flash_attention(q, k, v, input_mask)
+            else:
+                dropout_rng = None
+                if not deterministic and cfg.dropout > 0.0:
+                    dropout_rng = self.make_rng("dropout")
+                out = attn_ops.xla_attention(
+                    q, k, v, input_mask,
+                    dropout_rng=dropout_rng,
+                    dropout_rate=cfg.dropout,
+                    deterministic=deterministic,
+                )
 
         out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
         out = nn.Dense(
@@ -144,7 +154,9 @@ class MLP(nn.Module):
             inner, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
             name="c_fc",
         )(x)
-        h = nn.gelu(h, approximate=False)
+        # 'gelu' = exact erf gelu (HF ACT2FN['gelu'], the reference's fresh-
+        # model default); 'gelu_new' = tanh approximation (pretrained GPT-2)
+        h = nn.gelu(h, approximate=(cfg.activation_fn == "gelu_new"))
         if cfg.activation_fn == "geglu":
             gate = nn.Dense(
                 inner, kernel_init=_INIT, dtype=dtype,

@@ -1,0 +1,128 @@
+"""Attention implementations: XLA reference path + TPU Pallas flash attention.
+
+The reference materializes [B, H, S, S] fp32 attention logits
+(trajectory_gpt2.py:163-188) or defers to torch SDPA (238-250).  On TPU the
+naive path is HBM-bandwidth-bound; the flash kernel keeps the softmax
+accumulation in VMEM and never materializes the score matrix.
+
+Key-padding is expressed through segment ids (pad tokens get segment 0, real
+tokens 1): real queries cannot attend pad keys, matching the reference's
+additive -1e4 padding mask for every loss-visible position (pad *query* rows
+produce zeros here vs garbage there — both are masked out of the loss).
+
+Multi-chip: attention is independent per (batch, head), so under an active
+('data','model') mesh the kernel runs inside shard_map with batch on 'data'
+and heads on 'model' — no collectives inside the kernel.
+
+NOTE: attention-weight dropout is only applied on the XLA path; the flash
+path ignores it (standard practice for flash kernels; the reference's own
+SDPA path does apply it — documented deviation).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+_BIG_NEG = -1e9
+
+
+def flash_supported() -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def xla_attention(
+    q, k, v, key_mask, *, dropout_rng=None, dropout_rate=0.0, deterministic=True
+):
+    """Causal attention with key-padding mask; fp32 softmax.
+    q,k,v: [B, H, S, hd]; key_mask: bool [B, S]."""
+    S = q.shape[2]
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+    allowed = causal[None, None, :, :] & key_mask[:, None, None, :]
+    logits = jnp.where(allowed, logits, _BIG_NEG)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if not deterministic and dropout_rate > 0.0:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = weights * keep / (1.0 - dropout_rate)
+    weights = weights.astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def _flash_block_sizes(S: int):
+    """Large blocks amortize grid overhead: with head_dim 32 the default
+    128-blocks ran at ~3% MXU; 512-blocks measured 2x faster end to end."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    b = min(512, S)
+    return BlockSizes(
+        block_q=b, block_k_major=b, block_k=b, block_b=1,
+        block_q_major_dkv=b, block_k_major_dkv=b, block_k_dkv=b, block_q_dkv=b,
+        block_k_major_dq=b, block_k_dq=b, block_q_dq=b,
+    )
+
+
+def _flash_local(q, k, v, key_mask, sm_scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    seg = key_mask.astype(jnp.int32)
+    return flash_attention(
+        q, k, v,
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        causal=True,
+        sm_scale=sm_scale,
+        block_sizes=_flash_block_sizes(q.shape[2]),
+    )
+
+
+def _active_mesh():
+    from jax.interpreters import pxla
+
+    mesh = pxla.thread_resources.env.physical_mesh
+    if mesh is None or mesh.empty:
+        return None
+    return mesh
+
+
+def tpu_flash_attention(q, k, v, key_mask):
+    """Pallas flash attention, shard_mapped over an active ('data','model')
+    mesh when one is in scope."""
+    sm_scale = q.shape[-1] ** -0.5
+    mesh = _active_mesh()
+    if mesh is None or mesh.size == 1:
+        return _flash_local(q, k, v, key_mask, sm_scale)
+
+    from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        functools.partial(_flash_local, sm_scale=sm_scale),
+        mesh=mesh,
+        in_specs=(
+            P("data", "model", None, None),
+            P("data", "model", None, None),
+            P("data", "model", None, None),
+            P("data", None),
+        ),
+        out_specs=P("data", "model", None, None),
+        check_rep=False,
+    )
+    return fn(q, k, v, key_mask)
+
+
+def flash_shape_ok(S: int, hd: int, heads: int) -> bool:
+    """The bundled kernel wants the sequence in >=128 lane-aligned blocks."""
+    return S >= 128 and S % 128 == 0

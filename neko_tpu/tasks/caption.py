@@ -1,0 +1,136 @@
+"""Image-captioning task.
+
+Mirrors /root/reference/gato/tasks/caption_task.py: tar-shard ingestion,
+train/test split either from explicit subdirectories or a random mask
+persisted to test_data_mask.json (caption_task.py:47-68); sample_batch returns
+{image, caption-token} examples; evaluate generates a caption of the target's
+length and scores CE + perplexity (caption_task.py:122-163).
+
+Training examples pack as one timestep [image patches | caption tokens | SEP]
+with the caption as prediction target — the packer's modality order already
+places text after images, which is the reference's explicit re-ordering for
+caption training (gato_policy.py:350-355 comment).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from neko_tpu.data.caption_data import TarShardCaptionSource
+from neko_tpu.inference.generator import Generator
+from neko_tpu.tasks.base import Task
+from neko_tpu.tokenizers.text import get_text_tokenizer
+
+
+class CaptionTask(Task):
+    name = "caption"
+    task_kind = "caption"
+
+    def __init__(
+        self,
+        dataset_dir: str,
+        train_data: Optional[List[str]] = None,
+        test_data: Optional[List[str]] = None,
+        test_data_prop: float = 0.1,
+        tokenizer_model: str = "gpt2",
+        image_size: int = 256,
+        patch_size: int = 16,
+        seed: Optional[int] = None,
+        source_factory=TarShardCaptionSource,
+    ):
+        self.rng = np.random.RandomState(seed)
+        self.text_tokenizer = get_text_tokenizer(tokenizer_model)
+        self.image_size = image_size
+        self.patches_per_image = (image_size // patch_size) ** 2
+
+        if train_data and test_data:
+            self.train_source = source_factory(
+                [os.path.join(dataset_dir, d) for d in train_data],
+                image_size=image_size,
+            )
+            self.test_source = source_factory(
+                [os.path.join(dataset_dir, d) for d in test_data],
+                image_size=image_size,
+            )
+            self.train_indices = np.arange(len(self.train_source))
+            self.test_indices = np.arange(len(self.test_source))
+        else:
+            # single pool, persisted random split (caption_task.py:47-68)
+            source = source_factory(
+                [os.path.join(dataset_dir, d) for d in (train_data or [""])],
+                image_size=image_size,
+            )
+            self.train_source = self.test_source = source
+            mask_path = os.path.join(dataset_dir, "test_data_mask.json")
+            n = len(source)
+            if os.path.exists(mask_path):
+                with open(mask_path) as fh:
+                    test_mask = np.asarray(json.load(fh), dtype=bool)
+                assert len(test_mask) == n, "stale test_data_mask.json"
+            else:
+                test_mask = np.zeros(n, dtype=bool)
+                n_test = int(n * test_data_prop)
+                test_mask[self.rng.choice(n, size=n_test, replace=False)] = True
+                with open(mask_path, "w") as fh:
+                    json.dump([bool(b) for b in test_mask], fh)
+            self.train_indices = np.flatnonzero(~test_mask)
+            self.test_indices = np.flatnonzero(test_mask)
+
+    # ------------------------------------------------------------ sampling
+    def _example(self, source, idx: int) -> Dict:
+        sample = source.get(int(idx))
+        ids = self.text_tokenizer.encode(sample["caption"])
+        return {"images": sample["image"][None], "text": list(ids)}
+
+    def sample_batch(self, batch_size: int, is_test: bool = False) -> List[Dict]:
+        source = self.test_source if is_test else self.train_source
+        pool = self.test_indices if is_test else self.train_indices
+        idx = self.rng.choice(pool, size=batch_size, replace=len(pool) < batch_size)
+        return [self._example(source, i) for i in idx]
+
+    # ---------------------------------------------------------- evaluation
+    def evaluate(
+        self,
+        generator: Generator,
+        num_examples_to_test: int = 100,
+        deterministic: bool = True,
+        log_examples_to_output: bool = False,
+    ) -> Dict[str, float]:
+        num = min(num_examples_to_test, len(self.test_indices))
+        total_loss, tested = 0.0, 0
+        ts = generator.cfg.token_space
+        for n in range(num):
+            source = self.test_source
+            sample = source.get(int(self.test_indices[n % len(self.test_indices)]))
+            target = self.text_tokenizer.encode(sample["caption"])
+            if len(target) == 0:
+                continue
+            # predict_response semantics: prompt = [image patches] (+ text so
+            # far); logits read at the last non-separator position — dropping
+            # the trailing SEP is causally identical (gato_policy.py:477-544)
+            tokens, logits = generator.generate(
+                {"images": sample["image"][None], "text": []},
+                max_new_tokens=len(target),
+                start=ts.start("text"),
+                end=ts.end("text"),
+                deterministic=deterministic,
+                drop_trailing=1,
+            )
+            if log_examples_to_output and n % 50 == 0:
+                print(
+                    f"caption target: {sample['caption']!r} | "
+                    f"pred: {self.text_tokenizer.decode(list(tokens))!r}"
+                )
+            logits = logits.astype(np.float64)
+            m = logits.max(-1, keepdims=True)
+            logz = np.log(np.exp(logits - m).sum(-1)) + m[:, 0]
+            tgt = np.asarray(target)
+            nll = logz - logits[np.arange(len(tgt)), tgt]
+            total_loss += float(nll.mean())
+            tested += 1
+        avg = total_loss / max(tested, 1)
+        return {"loss": avg, "perplexity": float(np.exp(avg))}

@@ -62,7 +62,8 @@ def init_model(cfg=CFG, with_images=False):
 def test_forward_shapes_and_loss():
     model, params, batch = init_model(with_images=True)
     logits, loss = model.apply(
-        {"params": params}, batch, deterministic=True, compute_loss=True
+        {"params": params}, batch, deterministic=True, compute_loss=True,
+        return_logits=True,
     )
     B, S = batch.tokens.shape
     assert logits.shape == (B, S, CFG.padded_vocab_size)
@@ -91,6 +92,33 @@ def test_loss_masking_semantics():
     logz = np.log(np.exp(ll).sum(-1))
     ref = (logz - ll[np.arange(len(tt)), tt]).mean()
     np.testing.assert_allclose(float(got), ref, rtol=1e-5)
+
+
+def test_chunked_loss_matches_logits_loss():
+    """The fused chunked-CE path must equal the explicit-logits loss."""
+    model, params, batch = init_model(with_images=True)
+    _, loss_logits = model.apply(
+        {"params": params}, batch, deterministic=True, compute_loss=True,
+        return_logits=True,
+    )
+    _, loss_chunked = model.apply(
+        {"params": params}, batch, deterministic=True, compute_loss=True,
+    )
+    np.testing.assert_allclose(
+        float(loss_chunked), float(loss_logits), rtol=1e-5
+    )
+
+    # grads agree too
+    def lf(p, return_logits):
+        return model.apply(
+            {"params": p}, batch, deterministic=True, compute_loss=True,
+            return_logits=return_logits,
+        )[1]
+
+    g1 = jax.grad(lambda p: lf(p, True))(params)
+    g2 = jax.grad(lambda p: lf(p, False))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
 def test_dropout_rngs_change_output():
