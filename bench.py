@@ -55,7 +55,10 @@ def build_batch(packer, cfg, batch_size, seed=0):
                     "discrete_actions": rng.randint(0, 18, size=T).astype(np.int32),
                 }
             )
-    arrays = packer.pack_batch(examples)
+    # exact-count global patch pool (what the Trainer computes per mixture)
+    n_img = sum(1 for i in range(batch_size) if i % 3 == 2)
+    budget = -(-(n_img * ctx_ts_img * 36) // 256) * 256
+    arrays = packer.pack_batch(examples, patch_budget=budget)
     arrays.pop("lengths")
     return arrays
 

@@ -119,12 +119,28 @@ def model_config_from_args(args: TrainingArgs, max_patches: int) -> ModelConfig:
         "fp8": "bfloat16",
     }[args.mixed_precision]
     tok = get_text_tokenizer(args.tokenizer_model_name)
+    embed_dim, layers, heads = args.embed_dim, args.layers, args.heads
+    activation_fn = args.activation_fn
+    if args.pretrained_lm:
+        # pretrained GPT-2 overrides architecture (reference train.py
+        # pretrained path / gato_policy.py:79-95)
+        import transformers
+
+        try:
+            hf = transformers.GPT2Config.from_pretrained(args.pretrained_lm)
+        except Exception as e:
+            raise RuntimeError(
+                f"--pretrained_lm={args.pretrained_lm} requires the HF config "
+                "to be downloadable or cached"
+            ) from e
+        embed_dim, layers, heads = hf.n_embd, hf.n_layer, hf.n_head
+        activation_fn = "gelu_new"
     return ModelConfig(
-        embed_dim=args.embed_dim,
-        layers=args.layers,
-        heads=args.heads,
+        embed_dim=embed_dim,
+        layers=layers,
+        heads=heads,
         dropout=args.dropout,
-        activation_fn=args.activation_fn,
+        activation_fn=activation_fn,
         text_tokens=int(tok.vocab_size),
         continuous_tokens=args.continuous_tokens,
         discrete_tokens=args.discrete_tokens,
@@ -141,6 +157,9 @@ def model_config_from_args(args: TrainingArgs, max_patches: int) -> ModelConfig:
         dtype=dtype,
         attention_impl="flash" if args.flash else "xla",
         remat=args.remat,
+        lora_r=args.lora_r if args.lora else 0,
+        lora_alpha=args.lora_alpha,
+        lora_dropout=args.lora_dropout,
     )
 
 
@@ -159,6 +178,7 @@ def optimizer_config_from_args(args: TrainingArgs) -> OptimizerConfig:
         grad_norm_clip=args.grad_norm_clip,
         disable_grad_clip=args.disable_grad_clip,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
+        lora_only=bool(args.lora),
     )
 
 

@@ -24,6 +24,17 @@ def run(args: TrainingArgs) -> Trainer:
     trainer = Trainer(ctx, tasks, exp_name, args)
     trainer.init_state()
 
+    if args.pretrained_lm is not None:
+        from neko_tpu.models.import_gpt2 import load_pretrained_gpt2
+        from neko_tpu.parallel import sharding as shd
+
+        host_params = jax.device_get(trainer.state.params)
+        new_params, _ = load_pretrained_gpt2(host_params, args.pretrained_lm)
+        new_params = jax.device_put(
+            new_params, shd.param_shardings(ctx.mesh, new_params)
+        )
+        trainer.state = trainer.state.replace(params=new_params)
+
     if args.init_checkpoint is not None:
         from neko_tpu.utils.checkpoint import load_params_only
 

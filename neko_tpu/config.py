@@ -118,6 +118,13 @@ class ModelConfig:
     # Gradient checkpointing (remat) of transformer blocks.
     remat: bool = False
 
+    # LoRA adapters on the attention qkv projection (reference wraps the
+    # transformer with peft LoraConfig(TaskType.CAUSAL_LM) whose GPT-2 target
+    # is c_attn; train.py:109-112).  r == 0 disables.
+    lora_r: int = 0
+    lora_alpha: int = 32
+    lora_dropout: float = 0.1
+
     @property
     def token_space(self) -> TokenSpace:
         return TokenSpace(self.text_tokens, self.continuous_tokens, self.discrete_tokens)

@@ -15,14 +15,21 @@ step consumes one static-shape record:
     inner_pos   i32[B, S]   within-timestep observation position, -1 where no
                             inner positional embedding applies (separator /
                             action / pad slots; gato_policy.py:381-385)
-    patches     f32[B, P, ps, ps, 3]  raw image patches (0..255, NHWC)
-    patch_pos   i32[B, P, 4] quantized (h_lo, h_hi, w_lo, w_hi) position
+    patches     f32[N, ps, ps, 3]  raw image patches (0..255, NHWC) — a GLOBAL
+                            pool across the whole batch, not per-example: in
+                            mixed text+control batches most examples carry no
+                            images, and a per-example [B, P, ...] budget made
+                            the patch conv 3x more expensive than needed
+    patch_pos   i32[N, 4]   quantized (h_lo, h_hi, w_lo, w_hi) position
                             intervals per patch (embeddings.py:80-100)
-    patch_slot  i32[B, P]   index into S where the patch embedding is
-                            scattered; S (out of range) marks an unused slot
+    patch_batch i32[N]      batch row the patch belongs to; B marks unused
+    patch_slot  i32[N]      index into S where the patch embedding is
+                            scattered; S marks an unused pool slot
 
 Every array has a static shape so one jit-compiled train step serves text,
-control, caption and VQA batches alike.
+control, caption and VQA batches alike.  The pool size N is a per-batch
+budget (see SequencePacker.pack_batch); keep it stable across steps to avoid
+recompiles.
 """
 
 from __future__ import annotations
@@ -42,6 +49,7 @@ class PackedBatch:
     inner_pos: jnp.ndarray
     patches: Optional[jnp.ndarray] = None
     patch_pos: Optional[jnp.ndarray] = None
+    patch_batch: Optional[jnp.ndarray] = None
     patch_slot: Optional[jnp.ndarray] = None
 
     @property
@@ -54,13 +62,13 @@ class PackedBatch:
 
     @property
     def has_patches(self) -> bool:
-        return self.patches is not None and self.patches.shape[1] > 0
+        return self.patches is not None and self.patches.shape[0] > 0
 
 
 def empty_batch_np(
     batch_size: int,
     seq_len: int,
-    max_patches: int = 0,
+    patch_budget: int = 0,
     patch_size: int = 16,
 ) -> dict:
     """Host-side zeroed numpy arrays for the packer to fill in."""
@@ -70,13 +78,15 @@ def empty_batch_np(
         "target_mask": np.zeros((batch_size, seq_len), dtype=bool),
         "inner_pos": np.full((batch_size, seq_len), -1, dtype=np.int32),
     }
-    if max_patches > 0:
+    if patch_budget > 0:
         out["patches"] = np.zeros(
-            (batch_size, max_patches, patch_size, patch_size, 3), dtype=np.float32
+            (patch_budget, patch_size, patch_size, 3), dtype=np.float32
         )
-        out["patch_pos"] = np.zeros((batch_size, max_patches, 4), dtype=np.int32)
-        # slot == seq_len means "unused"; device scatter drops it.
-        out["patch_slot"] = np.full((batch_size, max_patches), seq_len, dtype=np.int32)
+        out["patch_pos"] = np.zeros((patch_budget, 4), dtype=np.int32)
+        # batch == batch_size / slot == seq_len mark unused pool entries;
+        # the device scatter drops them (out-of-range indices).
+        out["patch_batch"] = np.full((patch_budget,), batch_size, dtype=np.int32)
+        out["patch_slot"] = np.full((patch_budget,), seq_len, dtype=np.int32)
     return out
 
 
@@ -88,5 +98,6 @@ def to_device_batch(arrays: dict) -> PackedBatch:
         inner_pos=jnp.asarray(arrays["inner_pos"]),
         patches=jnp.asarray(arrays["patches"]) if "patches" in arrays else None,
         patch_pos=jnp.asarray(arrays["patch_pos"]) if "patch_pos" in arrays else None,
+        patch_batch=jnp.asarray(arrays["patch_batch"]) if "patch_batch" in arrays else None,
         patch_slot=jnp.asarray(arrays["patch_slot"]) if "patch_slot" in arrays else None,
     )

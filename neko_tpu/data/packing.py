@@ -258,13 +258,21 @@ class SequencePacker:
         *,
         pad_side: str = "left",
         seq_len: Optional[int] = None,
-        max_patches: Optional[int] = None,
+        patch_budget: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
+        """Pack examples into one fixed-shape record.
+
+        patch_budget: total image patches across the WHOLE batch (the global
+        patch pool, see data/batch.py).  Defaults to B * max_patches (the
+        conservative per-example budget); pass a tighter number for mixed
+        batches and keep it constant across steps to avoid recompiles.
+        """
         S = self.S if seq_len is None else seq_len
-        P = self.P if max_patches is None else max_patches
         B = len(examples)
-        out = empty_batch_np(B, S, P, self.ps)
+        N = (B * self.P) if patch_budget is None else patch_budget
+        out = empty_batch_np(B, S, N, self.ps)
         lengths = np.zeros(B, np.int32)
+        n_used = 0
 
         for i, ex in enumerate(examples):
             pe = ex if isinstance(ex, PackedExample) else self.pack_example(ex)
@@ -272,11 +280,6 @@ class SequencePacker:
             if L > S:
                 raise ValueError(f"packed example length {L} exceeds context {S}")
             n_p = pe.patches.shape[0]
-            if n_p > P:
-                raise ValueError(
-                    f"example has {n_p} patches > max_patches={P}; raise "
-                    "ModelConfig.max_patches"
-                )
             off = (S - L) if pad_side == "left" else 0
             sl = slice(off, off + L)
             out["tokens"][i, sl] = pe.tokens
@@ -284,13 +287,18 @@ class SequencePacker:
             out["target_mask"][i, sl] = pe.target_mask
             out["inner_pos"][i, sl] = pe.inner_pos
             if n_p:
-                if P == 0:
+                if n_used + n_p > N:
                     raise ValueError(
-                        "batch contains image patches but max_patches == 0"
+                        f"batch needs more than patch_budget={N} image "
+                        "patches; raise the budget (ModelConfig.max_patches "
+                        "or pack_batch(patch_budget=...))"
                     )
-                out["patches"][i, :n_p] = pe.patches
-                out["patch_pos"][i, :n_p] = pe.patch_pos
-                out["patch_slot"][i, :n_p] = pe.patch_slot + off
+                pool = slice(n_used, n_used + n_p)
+                out["patches"][pool] = pe.patches
+                out["patch_pos"][pool] = pe.patch_pos
+                out["patch_batch"][pool] = i
+                out["patch_slot"][pool] = pe.patch_slot + off
+                n_used += n_p
             lengths[i] = L
         out["lengths"] = lengths
         return out

@@ -94,13 +94,13 @@ class ImagePatchEmbedding(nn.Module):
     @nn.compact
     def __call__(
         self,
-        patches: jnp.ndarray,  # [B, P, ps, ps, 3] raw 0..255 floats
-        patch_pos: jnp.ndarray,  # [B, P, 4] int32 (h_lo, h_hi, w_lo, w_hi)
+        patches: jnp.ndarray,  # [N, ps, ps, 3] raw 0..255 floats (global pool)
+        patch_pos: jnp.ndarray,  # [N, 4] int32 (h_lo, h_hi, w_lo, w_hi)
         *,
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.cfg
-        B, P, ps, _, _ = patches.shape
+        N, ps, _, _ = patches.shape
         dtype = cfg.activation_dtype
 
         # Normalize: [0,255] -> [-1,1], then / sqrt(patch_size)
@@ -108,7 +108,6 @@ class ImagePatchEmbedding(nn.Module):
         x = patches.astype(dtype)
         x = (x / 255.0 * 2.0 - 1.0) / math.sqrt(ps)
 
-        x = x.reshape(B * P, ps, ps, 3)
         x = ResidualBlockV2(
             mid_channels=cfg.resid_mid_channels,
             num_groups=cfg.num_groups,
@@ -116,7 +115,7 @@ class ImagePatchEmbedding(nn.Module):
             param_dtype=cfg.params_dtype,
             name="residual_block",
         )(x)
-        x = x.reshape(B, P, ps * ps * 3)
+        x = x.reshape(N, ps * ps * 3)
         x = nn.Dense(
             cfg.embed_dim,
             kernel_init=_INIT,

@@ -115,11 +115,9 @@ class NekoModel(nn.Module):
         if batch.has_patches:
             p_emb = self.image_embedding(
                 batch.patches, batch.patch_pos, deterministic=deterministic
-            )  # [B, P, D]
-            B = batch.tokens.shape[0]
-            rows = jnp.arange(B)[:, None]
-            # slot == S is out of range -> dropped (unused patch slots)
-            emb = emb.at[rows, batch.patch_slot].set(
+            )  # [N, D] — global patch pool
+            # (batch, slot) == (B, S) marks unused entries -> dropped
+            emb = emb.at[batch.patch_batch, batch.patch_slot].set(
                 p_emb.astype(dtype), mode="drop"
             )
 

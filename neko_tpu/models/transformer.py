@@ -77,6 +77,20 @@ class Attention(nn.Module):
             3 * D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
             name="c_attn",
         )(x)
+        if cfg.lora_r > 0:
+            # LoRA on c_attn (peft's GPT-2 default target): B zero-init so the
+            # adapter starts as identity; scale alpha/r
+            a = nn.Dense(
+                cfg.lora_r, use_bias=False,
+                kernel_init=nn.initializers.he_uniform(),
+                dtype=dtype, param_dtype=cfg.params_dtype, name="lora_a",
+            )(x)
+            a = nn.Dropout(cfg.lora_dropout, deterministic=deterministic)(a)
+            delta = nn.Dense(
+                3 * D, use_bias=False, kernel_init=nn.initializers.zeros,
+                dtype=dtype, param_dtype=cfg.params_dtype, name="lora_b",
+            )(a)
+            qkv = qkv + delta * (cfg.lora_alpha / cfg.lora_r)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)

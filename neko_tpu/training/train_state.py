@@ -52,6 +52,10 @@ class OptimizerConfig:
     grad_norm_clip: float = 1.0
     disable_grad_clip: bool = False
     gradient_accumulation_steps: int = 1
+    # Freeze transformer base weights, training only LoRA adapters + the
+    # non-transformer modules (embeddings, head, image embedder) — matching
+    # peft wrapping model.transformer only (reference train.py:109-112).
+    lora_only: bool = False
 
 
 def make_optimizer(cfg: OptimizerConfig) -> Tuple[optax.GradientTransformation, Callable]:
@@ -78,6 +82,19 @@ def make_optimizer(cfg: OptimizerConfig) -> Tuple[optax.GradientTransformation, 
         )
     )
     tx = optax.chain(*chain)
+    if cfg.lora_only:
+        def _labels(params):
+            def label(path, _):
+                names = [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
+                if "lora_a" in names or "lora_b" in names:
+                    return "train"
+                return "freeze" if names and names[0] == "transformer" else "train"
+
+            return jax.tree_util.tree_map_with_path(label, params)
+
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, _labels
+        )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.gradient_accumulation_steps)
     return tx, schedule

@@ -71,6 +71,31 @@ class Trainer:
         # caption/vqa tasks are matched by duck-typed task_kind
         self.caption_tasks = [t for t in tasks if getattr(t, "task_kind", "") == "caption"]
         self.vqa_tasks = [t for t in tasks if getattr(t, "task_kind", "") == "vqa"]
+        self.patch_budget = self._compute_patch_budget()
+
+    def _compute_patch_budget(self) -> int:
+        """Worst-case total image patches in one mixture batch, kept constant
+        across steps so the compiled step never reshapes (see the global
+        patch pool in data/batch.py)."""
+        bs = self.args.batch_size
+        # upper bounds per mixture component (+1 for the multinomial residual)
+        n_text_like = int(self.args.text_prop * bs) + 1
+        n_caption = int(self.args.caption_prop * bs) + 1 if self.caption_tasks else 0
+        n_vqa = int(self.args.vqa_prop * bs) + 1 if self.vqa_tasks else 0
+        control_prop = 1 - self.args.text_prop - self.args.caption_prop - self.args.vqa_prop
+        n_control = int(control_prop * bs) + 1 if self.control_tasks else 0
+
+        budget = 0
+        ctrl_patches = [t.required_patches for t in self.control_tasks]
+        if ctrl_patches and max(ctrl_patches) > 0:
+            budget += n_control * max(ctrl_patches)
+        if self.caption_tasks:
+            budget += n_caption * max(t.patches_per_image for t in self.caption_tasks)
+        if self.vqa_tasks:
+            budget += n_vqa * max(t.patches_per_image for t in self.vqa_tasks)
+        if budget == 0:
+            return 0
+        return -(-budget // 256) * 256  # round up for clean 'data' sharding
 
     # ----------------------------------------------------------- lifecycle
     def init_state(self, init_state: Optional[TrainState] = None):
@@ -163,7 +188,7 @@ class Trainer:
                 examples += task.sample_batch(sizes["vqa"])
         if sizes["control"] > 0:
             examples += self.sample_control_batch(sizes["control"])
-        arrays = self.packer.pack_batch(examples)
+        arrays = self.packer.pack_batch(examples, patch_budget=self.patch_budget)
         arrays.pop("lengths")
         batch = to_device_batch(arrays)
         return shd.shard_batch(self.ctx.mesh, batch)

@@ -118,10 +118,29 @@ def test_patch_slot_offset_with_left_pad():
     batch = p.pack_batch([{"images": img, "discrete_actions": np.array([0])}])
     S = CFG.context_len
     L = 3  # patch + sep + action
-    # active patch slot moved by pad offset
-    assert batch["patch_slot"][0, 0] == S - L
-    # unused slots are parked at S
-    assert (batch["patch_slot"][0, 1:] == S).all()
+    # active patch slot moved by pad offset; pool row 0 belongs to example 0
+    assert batch["patch_slot"][0] == S - L
+    assert batch["patch_batch"][0] == 0
+    # unused pool entries are parked at (B, S)
+    assert (batch["patch_slot"][1:] == S).all()
+    assert (batch["patch_batch"][1:] == 1).all()
+
+
+def test_patch_pool_is_global():
+    """Mixed text+image batch shares one patch pool across examples."""
+    p = SequencePacker(CFG)
+    img = np.zeros((1, 16, 32, 3), np.float32)  # 2 patches
+    batch = p.pack_batch(
+        [
+            {"text": [1, 2]},
+            {"images": img, "discrete_actions": np.array([0])},
+            {"images": img, "discrete_actions": np.array([1])},
+        ],
+        patch_budget=8,
+    )
+    assert batch["patches"].shape == (8, 16, 16, 3)
+    np.testing.assert_array_equal(batch["patch_batch"][:4], [1, 1, 2, 2])
+    assert (batch["patch_batch"][4:] == 3).all()
 
 
 def test_overlong_truncates_oldest_timesteps():
@@ -142,6 +161,9 @@ def test_text_truncated_to_context():
 
 def test_too_many_patches_raises():
     p = SequencePacker(CFG)
-    img = np.zeros((9, 16, 16, 3), np.float32)  # 9 patches > max 8
-    with pytest.raises(ValueError):
-        p.pack_batch([{"images": img, "discrete_actions": np.zeros(9, np.int32)}])
+    img = np.zeros((9, 16, 16, 3), np.float32)  # 9 patches > budget 8
+    with pytest.raises(ValueError, match="patch_budget"):
+        p.pack_batch(
+            [{"images": img, "discrete_actions": np.zeros(9, np.int32)}],
+            patch_budget=8,
+        )
