@@ -42,6 +42,20 @@ def run(args: TrainingArgs) -> Trainer:
         params = load_params_only(args.init_checkpoint, abstract)
         trainer.state = trainer.state.replace(params=params)
 
+    if args.resume_from is not None:
+        import os
+
+        from neko_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+
+        path = args.resume_from
+        if os.path.isdir(path) and not os.path.basename(path).startswith("checkpoint_"):
+            found = latest_checkpoint(path)
+            assert found, f"no checkpoint_* under {path}"
+            path = found
+        trainer.state = load_checkpoint(path, jax.tree.map(lambda x: x, trainer.state))
+        trainer.steps = int(trainer.state.step)
+        print(f"resumed full train state from {path} at step {trainer.steps}")
+
     n_params = sum(x.size for x in jax.tree.leaves(trainer.state.params))
     print(f"devices: {jax.devices()}")
     print(f"mesh: {dict(ctx.mesh.shape)}")

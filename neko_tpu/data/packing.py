@@ -80,6 +80,9 @@ class SequencePacker:
 
     # ------------------------------------------------------------ example
     def pack_example(self, ex: Dict) -> PackedExample:
+        fast = self._pack_control_native(ex)
+        if fast is not None:
+            return fast
         ts = self.ts
         cfg = self.cfg
 
@@ -250,6 +253,74 @@ class SequencePacker:
             patch_pos=patch_pos,
             patch_slot=patch_slot.astype(np.int32),
         )
+
+    # ----------------------------------------------------- native fast path
+    def _pack_control_native(self, ex: Dict) -> Optional[PackedExample]:
+        """Fused C kernel for pure state-based control episodes (the
+        data-loader hot path); bit-parity with the numpy route is tested."""
+        from neko_tpu import native
+
+        L = native.lib()
+        if L is None:
+            return None
+        keys = frozenset(k for k, v in ex.items() if v is not None)
+        variants = {
+            frozenset(("continuous_obs", "continuous_actions")),
+            frozenset(("continuous_obs", "discrete_actions")),
+            frozenset(("discrete_obs", "discrete_actions")),
+        }
+        if keys not in variants:
+            return None
+        ts, cfg = self.ts, self.cfg
+
+        def _2d(a, dt):
+            a = np.asarray(a, dtype=dt)
+            return a[:, None] if a.ndim == 1 else np.ascontiguousarray(a)
+
+        if "continuous_obs" in keys:
+            obs = _2d(ex["continuous_obs"], np.float32)
+        else:
+            obs = _2d(ex["discrete_obs"], np.int32)
+        if "continuous_actions" in keys:
+            act = _2d(ex["continuous_actions"], np.float32)
+        else:
+            act = _2d(ex["discrete_actions"], np.int32)
+        T, O = obs.shape
+        A = act.shape[1]
+        if act.shape[0] != T:
+            raise ValueError(f"modalities disagree on timesteps: {T} vs {act.shape[0]}")
+        n = T * (O + 1 + A)
+        tokens = np.empty(n, np.int32)
+        target = np.empty(n, np.uint8)
+        inner = np.empty(n, np.int32)
+        if keys == frozenset(("continuous_obs", "continuous_actions")):
+            L.pack_continuous_control(
+                obs, T, O, act, A, float(cfg.mu), float(cfg.M),
+                ts.continuous_tokens, ts.continuous_start, ts.separator_id,
+                tokens, target, inner,
+            )
+        elif keys == frozenset(("continuous_obs", "discrete_actions")):
+            L.pack_continuous_obs_discrete_act(
+                obs, T, O, act, A, float(cfg.mu), float(cfg.M),
+                ts.continuous_tokens, ts.continuous_start, ts.discrete_start,
+                ts.separator_id, tokens, target, inner,
+            )
+        else:
+            L.pack_discrete_control(
+                obs, T, O, act, A, ts.discrete_start, ts.separator_id,
+                tokens, target, inner,
+            )
+        pe = PackedExample(
+            tokens=tokens,
+            target_mask=target.astype(bool),
+            inner_pos=inner,
+            patches=np.zeros((0, self.ps, self.ps, 3), np.float32),
+            patch_pos=np.zeros((0, 4), np.int32),
+            patch_slot=np.zeros((0,), np.int32),
+        )
+        if pe.length > self.S:
+            return None  # rare overflow: defer to the numpy path's trimming
+        return pe
 
     # -------------------------------------------------------------- batch
     def pack_batch(

@@ -42,6 +42,7 @@ class TrainingArgs:
     pretrained_lm: Optional[str] = field(default=None, metadata={"help": "Initialize from a pretrained HF GPT-2; overrides embed_dim/layers/heads."})
     flash: bool = field(default=True, metadata={"help": "Use the Pallas flash-attention kernel on TPU."})
     init_checkpoint: Optional[str] = field(default=None, metadata={"help": "Load weights (not args) from a checkpoint."})
+    resume_from: Optional[str] = field(default=None, metadata={"help": "Resume the FULL train state (params+optimizer+step+RNG) from an experiment dir or checkpoint_<N> dir; exact resume (the reference only warm-starts weights)."})
     embed_dim: int = field(default=768)
     layers: int = field(default=8)
     heads: int = field(default=24)
@@ -124,4 +125,5 @@ class TrainingArgs:
     max_patches: int = field(default=-1, metadata={"help": "Static per-example image-patch budget; -1 = derive from tasks."})
     remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
     seed: int = field(default=42)
+    prefetch_batches: int = field(default=2, metadata={"help": "Host batches packed ahead of the device by a background thread; 0 disables."})
     log_jsonl: bool = field(default=True, metadata={"help": "Append metrics to <save_dir>/<exp>/metrics.jsonl."})

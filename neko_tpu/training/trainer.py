@@ -71,7 +71,14 @@ class Trainer:
         # caption/vqa tasks are matched by duck-typed task_kind
         self.caption_tasks = [t for t in tasks if getattr(t, "task_kind", "") == "caption"]
         self.vqa_tasks = [t for t in tasks if getattr(t, "task_kind", "") == "vqa"]
+        data_axis = ctx.mesh.shape.get("data", 1)
+        assert args.batch_size % data_axis == 0, (
+            f"batch_size={args.batch_size} must be divisible by the mesh "
+            f"data axis ({data_axis}); adjust --batch_size or "
+            "--mesh_model_axis"
+        )
         self.patch_budget = self._compute_patch_budget()
+        self._prefetcher = None
 
     def _compute_patch_budget(self) -> int:
         """Worst-case total image patches in one mixture batch, kept constant
@@ -110,11 +117,16 @@ class Trainer:
         if self.state is None:
             self.init_state()
         iters = self.args.training_steps // self.args.log_eval_freq
-        for i in range(iters):
-            logs = self.train_iteration(self.args.log_eval_freq, i)
-            self.logger.log(logs, step=self.steps, header=f"Iteration {i}")
-        if self.args.save_model and self.args.save_mode == "last":
-            save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+        try:
+            for i in range(iters):
+                logs = self.train_iteration(self.args.log_eval_freq, i)
+                self.logger.log(logs, step=self.steps, header=f"Iteration {i}")
+            if self.args.save_model and self.args.save_mode == "last":
+                save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+        finally:
+            if self._prefetcher is not None:
+                self._prefetcher.close()
+                self._prefetcher = None
 
     def train_iteration(self, num_steps: int, it: int) -> Dict:
         logs: Dict = {}
@@ -173,8 +185,8 @@ class Trainer:
         assert sum(sizes.values()) == bs
         return sizes
 
-    def build_batch(self):
-        """Sample the task mixture and pack to a device batch."""
+    def sample_arrays(self):
+        """Sample the task mixture and pack to host numpy arrays."""
         sizes = self._mixture_sizes()
         examples: List[Dict] = []
         if sizes["text"] > 0:
@@ -190,14 +202,29 @@ class Trainer:
             examples += self.sample_control_batch(sizes["control"])
         arrays = self.packer.pack_batch(examples, patch_budget=self.patch_budget)
         arrays.pop("lengths")
+        return arrays
+
+    def build_batch(self, arrays=None):
+        if arrays is None:
+            arrays = self.sample_arrays()
         batch = to_device_batch(arrays)
         return shd.shard_batch(self.ctx.mesh, batch)
+
+    def _next_arrays(self):
+        depth = getattr(self.args, "prefetch_batches", 2)
+        if depth <= 0:
+            return self.sample_arrays()
+        if self._prefetcher is None:
+            from neko_tpu.data.pipeline import HostPrefetcher
+
+            self._prefetcher = HostPrefetcher(self.sample_arrays, depth=depth)
+        return self._prefetcher.get()
 
     def train_step(self):
         logs: Dict = {}
         logs["training/learning_rate"] = self.ctx.current_lr(self.steps)
         t0 = time.time()
-        batch = self.build_batch()
+        batch = self.build_batch(self._next_arrays())
         logs["time/sample_batch"] = time.time() - t0
         self.state, loss = self.ctx.train_step(self.state, batch)
         return loss, logs
