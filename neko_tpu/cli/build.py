@@ -21,9 +21,13 @@ from neko_tpu.training.train_state import OptimizerConfig, TrainContext
 
 
 def select_platform(args: TrainingArgs) -> None:
-    """Honour --cpu / --device (must run before first jax use)."""
+    """Honour --cpu / --device / --multihost (must run before first jax use)."""
     if args.cpu or args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "multihost", False):
+        # multi-host slice: jax.devices() then spans the whole slice and the
+        # ('data','model') mesh rides ICI (SURVEY.md §2.2/§5.8)
+        jax.distributed.initialize()
 
 
 def build_control_tasks(args: TrainingArgs, context_len: int) -> List[ControlTask]:

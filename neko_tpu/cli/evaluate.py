@@ -43,7 +43,38 @@ def run(cli) -> dict:
     if cli.control_datasets:
         args.control_datasets = cli.control_datasets
 
-    ctx, tasks = build_context(args)
+    # --render: build envs with a human render window (reference eval.py:139)
+    tasks = None
+    if getattr(cli, "render", False) and args.control_datasets:
+        from neko_tpu.cli.build import build_tasks, select_platform
+        from neko_tpu.envs.setup_env import expand_dataset_names, load_envs
+        from neko_tpu.tasks.control import ControlTask
+
+        select_platform(args)
+        envs, datasets = load_envs(
+            args.control_datasets, {"render_mode": "human"}
+        )
+        names = expand_dataset_names(args.control_datasets)
+        tasks = [
+            ControlTask(
+                n, e, d, context_len=args.sequence_length,
+                patch_size=args.patch_size,
+                training_prompt_len_proportion=args.prompt_len_proportion,
+                share_prompt_episodes=not args.unique_prompt_episodes,
+                top_k_prompting=args.top_k, seed=args.seed,
+            )
+            for n, e, d in zip(names, envs, datasets)
+        ]
+        if args.text_datasets:
+            tasks.append(
+                TextTask(
+                    args.text_datasets, args.text_datasets_paths,
+                    context_length=args.sequence_length,
+                    tokenizer_model=args.tokenizer_model_name, seed=args.seed,
+                )
+            )
+
+    ctx, tasks = build_context(args, tasks=tasks)
     trainer_state = None
 
     # restore into the sharded layout
@@ -99,6 +130,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--cpu", action="store_true", default=None)
     p.add_argument("--control_datasets", type=str, nargs="+", default=None)
+    p.add_argument("--render", action="store_true", default=False,
+                   help="render control envs during evaluation")
     cli = p.parse_args(argv)
     run(cli)
 

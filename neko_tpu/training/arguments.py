@@ -126,4 +126,7 @@ class TrainingArgs:
     remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
     seed: int = field(default=42)
     prefetch_batches: int = field(default=2, metadata={"help": "Host batches packed ahead of the device by a background thread; 0 disables."})
+    profile_dir: Optional[str] = field(default=None, metadata={"help": "Capture a jax.profiler trace of a few train steps into this directory (view with tensorboard/xprof)."})
+    profile_steps: int = field(default=3, metadata={"help": "Number of steps to trace when --profile_dir is set."})
+    multihost: bool = field(default=False, metadata={"help": "Call jax.distributed.initialize() at startup (multi-host TPU slices)."})
     log_jsonl: bool = field(default=True, metadata={"help": "Append metrics to <save_dir>/<exp>/metrics.jsonl."})

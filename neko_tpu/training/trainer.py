@@ -226,8 +226,28 @@ class Trainer:
         t0 = time.time()
         batch = self.build_batch(self._next_arrays())
         logs["time/sample_batch"] = time.time() - t0
+        self._maybe_profile()
         self.state, loss = self.ctx.train_step(self.state, batch)
         return loss, logs
+
+    def _maybe_profile(self):
+        """Trace steps [2, 2+profile_steps) when --profile_dir is set
+        (TPU-native replacement for the reference's wall-clock-only
+        observability, SURVEY.md §5.1)."""
+        pdir = getattr(self.args, "profile_dir", None)
+        if not pdir:
+            return
+        import jax
+
+        if self.steps == 2:
+            jax.profiler.start_trace(pdir)
+            self._profiling = True
+        elif getattr(self, "_profiling", False) and self.steps == 2 + getattr(
+            self.args, "profile_steps", 3
+        ):
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f"[neko-tpu] profiler trace written to {pdir}")
 
     def sample_control_batch(self, batch_size: int) -> List[Dict]:
         """Reference trainer.py:211-247."""
