@@ -98,18 +98,31 @@ def _active_mesh():
     return mesh
 
 
+def _kernel_local(q, k, v, key_mask, sm_scale):
+    """Pick the authored whole-head kernel when the workload fits (small
+    heads, S <= 1024 — 2.2x faster than the generic flash kernel there),
+    else the generic flash kernel."""
+    from neko_tpu.ops import attention_kernel as whk
+
+    if whk.supported(q.shape[2], q.shape[3], q.dtype):
+        start, end = whk.mask_bounds_from_key_mask(key_mask)
+        return whk.whole_head_attention(q, k, v, start, end, sm_scale)
+    return _flash_local(q, k, v, key_mask, sm_scale)
+
+
 def tpu_flash_attention(q, k, v, key_mask):
-    """Pallas flash attention, shard_mapped over an active ('data','model')
-    mesh when one is in scope."""
+    """Pallas attention, shard_mapped over an active ('data','model') mesh
+    when one is in scope (attention is independent per batch x head, so no
+    collectives are needed inside the kernel)."""
     sm_scale = q.shape[-1] ** -0.5
     mesh = _active_mesh()
     if mesh is None or mesh.size == 1:
-        return _flash_local(q, k, v, key_mask, sm_scale)
+        return _kernel_local(q, k, v, key_mask, sm_scale)
 
     from jax.experimental.shard_map import shard_map
 
     fn = shard_map(
-        functools.partial(_flash_local, sm_scale=sm_scale),
+        functools.partial(_kernel_local, sm_scale=sm_scale),
         mesh=mesh,
         in_specs=(
             P("data", "model", None, None),

@@ -16,5 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# NEKO_TEST_TPU=1 runs the suite on the real accelerator (enables the
+# TPU-only pallas kernel tests); default is the virtual 8-device CPU mesh.
+if not os.environ.get("NEKO_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,103 @@
+"""TPU-only tests for the authored whole-head Pallas attention kernel.
+
+Run with: NEKO_TEST_TPU=1 python -m pytest tests/test_attention_tpu.py
+(the default suite runs on CPU where pallas TPU kernels can't execute).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neko_tpu.ops.attention import xla_attention
+
+requires_tpu = pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu", "axon"),
+    reason="pallas TPU kernel needs a TPU (set NEKO_TEST_TPU=1)",
+)
+
+
+def test_mask_bounds():
+    from neko_tpu.ops.attention_kernel import mask_bounds_from_key_mask
+
+    m = np.zeros((3, 8), bool)
+    m[0, 2:8] = True   # left pad
+    m[1, 0:5] = True   # right pad
+    # row 2: fully invalid
+    start, end = mask_bounds_from_key_mask(jnp.asarray(m))
+    np.testing.assert_array_equal(np.asarray(start), [2, 0, 8])
+    np.testing.assert_array_equal(np.asarray(end), [8, 5, 0])
+
+
+@requires_tpu
+@pytest.mark.parametrize("pad", ["left", "right", "none"])
+def test_whole_head_kernel_matches_xla(pad):
+    from neko_tpu.ops.attention_kernel import (
+        mask_bounds_from_key_mask,
+        whole_head_attention,
+    )
+
+    B, H, S, hd = 4, 4, 256, 32
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32).astype(jnp.bfloat16)
+    mask = np.ones((B, S), bool)
+    if pad == "left":
+        mask[:2, :50] = False
+    elif pad == "right":
+        mask[:2, 200:] = False
+    km = jnp.asarray(mask)
+    start, end = mask_bounds_from_key_mask(km)
+    scale = hd ** -0.5
+
+    out = jax.jit(
+        lambda q, k, v: whole_head_attention(q, k, v, start, end, scale)
+    )(q, k, v)
+    ref = jax.jit(lambda q, k, v: xla_attention(q, k, v, km))(q, k, v)
+    for b in range(B):
+        valid = mask[b]
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32)[b][:, valid],
+            np.asarray(ref, np.float32)[b][:, valid],
+            atol=1.5e-2,
+        )
+
+
+@requires_tpu
+def test_whole_head_kernel_grads_match_xla():
+    from neko_tpu.ops.attention_kernel import (
+        mask_bounds_from_key_mask,
+        whole_head_attention,
+    )
+
+    B, H, S, hd = 2, 2, 256, 32
+    rng = np.random.RandomState(1)
+    # fp32 inputs for a tight gradient comparison
+    q = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    mask = np.ones((B, S), bool)
+    mask[0, :30] = False
+    km = jnp.asarray(mask)
+    start, end = mask_bounds_from_key_mask(km)
+    scale = hd ** -0.5
+    w = km[:, None, :, None].astype(jnp.float32)
+
+    g1 = jax.jit(jax.grad(
+        lambda q, k, v: (
+            (whole_head_attention(q, k, v, start, end, scale) * w) ** 2
+        ).sum(), argnums=(0, 1, 2),
+    ))(q, k, v)
+    # the kernel pins matmul precision to DEFAULT (bf16 passes on MXU);
+    # trace the reference the same way for an apples-to-apples comparison
+    with jax.default_matmul_precision("default"):
+        g2 = jax.jit(jax.grad(
+            lambda q, k, v: ((xla_attention(q, k, v, km) * w) ** 2).sum(),
+            argnums=(0, 1, 2),
+        ))(q, k, v)
+    for a, b in zip(g1, g2):
+        scale_ref = np.abs(np.asarray(b)).max()
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3 * max(scale_ref, 1.0)
+        )
