@@ -36,10 +36,24 @@ def run(args: TrainingArgs) -> Trainer:
         trainer.state = trainer.state.replace(params=new_params)
 
     if args.init_checkpoint is not None:
-        from neko_tpu.utils.checkpoint import load_params_only
+        if args.init_checkpoint.endswith(".pt"):
+            # migrate a reference (GatoPolicy) torch checkpoint directly
+            from neko_tpu.models.import_reference import load_reference_checkpoint
+            from neko_tpu.parallel import sharding as shd
 
-        abstract = jax.tree.map(lambda x: x, trainer.state)
-        params = load_params_only(args.init_checkpoint, abstract)
+            host = jax.device_get(trainer.state.params)
+            params = load_reference_checkpoint(
+                args.init_checkpoint, host, ctx.model_cfg
+            )
+            params = jax.device_put(
+                params, shd.param_shardings(ctx.mesh, params)
+            )
+            print(f"migrated reference checkpoint {args.init_checkpoint}")
+        else:
+            from neko_tpu.utils.checkpoint import load_params_only
+
+            abstract = jax.tree.map(lambda x: x, trainer.state)
+            params = load_params_only(args.init_checkpoint, abstract)
         trainer.state = trainer.state.replace(params=params)
 
     if args.resume_from is not None:

@@ -52,8 +52,22 @@ def convert_state_dict(sd: Dict[str, np.ndarray], params, n_layers: int):
     )
     emb[: wte.shape[0]] = wte
     params["embed_token"] = {"embedding": jnp.asarray(emb)}
+    params["transformer"] = convert_transformer_state_dict(
+        sd, params["transformer"], n_layers
+    )
+    return params
 
-    tr = dict(params["transformer"])
+
+def convert_transformer_state_dict(
+    sd: Dict[str, np.ndarray], transformer_params, n_layers: int
+):
+    """Map GPT-2-fork transformer weights (h.<i>.*, ln_f) onto our tree."""
+    import jax.numpy as jnp
+
+    def _np(x):
+        return np.asarray(x)
+
+    tr = dict(transformer_params)
     for i in range(n_layers):
         blk = {k: dict(v) for k, v in tr[f"h_{i}"].items()}
         p = f"h.{i}."
@@ -90,8 +104,7 @@ def convert_state_dict(sd: Dict[str, np.ndarray], params, n_layers: int):
         "scale": jnp.asarray(_np(sd["ln_f.weight"])),
         "bias": jnp.asarray(_np(sd["ln_f.bias"])),
     }
-    params["transformer"] = tr
-    return params
+    return tr
 
 
 def load_pretrained_gpt2(params, model_name: str = "gpt2"):
