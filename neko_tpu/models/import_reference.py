@@ -83,7 +83,15 @@ def convert_gato_state_dict(sd: Dict, params, cfg: ModelConfig):
                 tr[f"h_{i}"] = blk
         params["transformer"] = tr
 
-    # image embedder
+    if cfg.use_pos_encoding and "pos_embed_observation" in params:
+        params["pos_embed_observation"] = {
+            "embedding": jnp.asarray(sd["pos_embed_observation.weight"])
+        }
+
+    # image embedder (absent from the tree when the model was initialized
+    # without any image batch — max_patches == 0)
+    if "image_embedding" not in params:
+        return params
     ie = {k: dict(v) if isinstance(v, dict) else v
           for k, v in params["image_embedding"].items()}
 
@@ -134,11 +142,6 @@ def convert_gato_state_dict(sd: Dict, params, cfg: ModelConfig):
             },
         }
     params["image_embedding"] = ie
-
-    if cfg.use_pos_encoding:
-        params["pos_embed_observation"] = {
-            "embedding": jnp.asarray(sd["pos_embed_observation.weight"])
-        }
     return params
 
 
