@@ -19,7 +19,7 @@ state = ctx.init_state(batch)
 for _ in range(3):
     state, loss = ctx.train_step(state, batch)
 float(loss)
-jax.profiler.start_trace("/tmp/neko_trace2")
+jax.profiler.start_trace("/tmp/neko_trace3")
 for _ in range(3):
     state, loss = ctx.train_step(state, batch)
 float(loss)

@@ -55,10 +55,21 @@ def build_batch(packer, cfg, batch_size, seed=0):
                     "discrete_actions": rng.randint(0, 18, size=T).astype(np.int32),
                 }
             )
-    # exact-count global patch pool (what the Trainer computes per mixture)
+    # exact-count global patch pool + loss-target budget (what the Trainer
+    # computes per mixture)
     n_img = sum(1 for i in range(batch_size) if i % 3 == 2)
+    n_txt = sum(1 for i in range(batch_size) if i % 3 == 0)
+    n_cont = batch_size - n_img - n_txt
     budget = -(-(n_img * ctx_ts_img * 36) // 256) * 256
-    arrays = packer.pack_batch(examples, patch_budget=budget)
+    tgt_budget = (
+        n_txt * (cfg.context_len - 1)
+        + n_cont * ctx_ts_cont * 2
+        + n_img * ctx_ts_img * 1
+    )
+    tgt_budget = -(-tgt_budget // 256) * 256
+    arrays = packer.pack_batch(
+        examples, patch_budget=budget, target_budget=tgt_budget
+    )
     arrays.pop("lengths")
     return arrays
 

@@ -51,6 +51,13 @@ class PackedBatch:
     patch_pos: Optional[jnp.ndarray] = None
     patch_batch: Optional[jnp.ndarray] = None
     patch_slot: Optional[jnp.ndarray] = None
+    # Optional gathered-loss indices: in mixed batches only a fraction of
+    # positions are prediction targets (obs/image/separator tokens are not),
+    # so the [*, V] head matmul is computed only at these positions.
+    # loss_pos: i32[Nt, 2] (batch_row, position) of the PREDICTING token;
+    # loss_tgt: i32[Nt] the target id; batch_row == B marks unused entries.
+    loss_pos: Optional[jnp.ndarray] = None
+    loss_tgt: Optional[jnp.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -90,6 +97,28 @@ def empty_batch_np(
     return out
 
 
+def add_loss_entries_np(out: dict, target_budget: int) -> None:
+    """Append gathered-loss index arrays derived from the packed masks."""
+    B, S = out["tokens"].shape
+    loss_pos = np.full((target_budget, 2), [B, 0], dtype=np.int32)
+    loss_tgt = np.zeros((target_budget,), dtype=np.int32)
+    n = 0
+    pred_mask = out["input_mask"][:, :-1] & out["target_mask"][:, 1:]
+    for b in range(B):
+        (ts,) = np.nonzero(pred_mask[b])
+        if n + len(ts) > target_budget:
+            raise ValueError(
+                f"batch has more than target_budget={target_budget} loss "
+                "targets; raise the budget"
+            )
+        loss_pos[n : n + len(ts), 0] = b
+        loss_pos[n : n + len(ts), 1] = ts
+        loss_tgt[n : n + len(ts)] = out["tokens"][b, ts + 1]
+        n += len(ts)
+    out["loss_pos"] = loss_pos
+    out["loss_tgt"] = loss_tgt
+
+
 def to_device_batch(arrays: dict) -> PackedBatch:
     return PackedBatch(
         tokens=jnp.asarray(arrays["tokens"]),
@@ -100,4 +129,6 @@ def to_device_batch(arrays: dict) -> PackedBatch:
         patch_pos=jnp.asarray(arrays["patch_pos"]) if "patch_pos" in arrays else None,
         patch_batch=jnp.asarray(arrays["patch_batch"]) if "patch_batch" in arrays else None,
         patch_slot=jnp.asarray(arrays["patch_slot"]) if "patch_slot" in arrays else None,
+        loss_pos=jnp.asarray(arrays["loss_pos"]) if "loss_pos" in arrays else None,
+        loss_tgt=jnp.asarray(arrays["loss_tgt"]) if "loss_tgt" in arrays else None,
     )

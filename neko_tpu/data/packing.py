@@ -330,6 +330,7 @@ class SequencePacker:
         pad_side: str = "left",
         seq_len: Optional[int] = None,
         patch_budget: Optional[int] = None,
+        target_budget: Optional[int] = None,
     ) -> Dict[str, np.ndarray]:
         """Pack examples into one fixed-shape record.
 
@@ -371,5 +372,9 @@ class SequencePacker:
                 out["patch_slot"][pool] = pe.patch_slot + off
                 n_used += n_p
             lengths[i] = L
+        if target_budget is not None and target_budget > 0:
+            from neko_tpu.data.batch import add_loss_entries_np
+
+            add_loss_entries_np(out, target_budget)
         out["lengths"] = lengths
         return out

@@ -70,6 +70,13 @@ class LMHead(nn.Module):
             valid_vocab=valid_vocab,
         )
 
+    def loss_gathered(self, hidden, loss_pos, loss_tgt, valid_vocab):
+        from neko_tpu.ops.losses import gathered_masked_xent
+
+        return gathered_masked_xent(
+            hidden, self.kernel, loss_pos, loss_tgt, valid_vocab=valid_vocab
+        )
+
 
 class NekoModel(nn.Module):
     cfg: ModelConfig
@@ -161,6 +168,12 @@ class NekoModel(nn.Module):
                 batch.tokens,
                 batch.input_mask,
                 batch.target_mask,
+                valid_vocab=self.cfg.vocab_size,
+            )
+        elif batch.loss_pos is not None:
+            # head matmul only at gathered target positions
+            loss = self.predict_token.loss_gathered(
+                hidden, batch.loss_pos, batch.loss_tgt,
                 valid_vocab=self.cfg.vocab_size,
             )
         else:

@@ -84,3 +84,65 @@ def chunked_masked_xent(
         total = total + chunk_nll(hidden[:, sl], tgt[:, sl], mask[:, sl])
     denom = jnp.maximum(mask.sum(), 1.0)
     return total / denom
+
+
+def gathered_masked_xent(
+    hidden: jnp.ndarray,    # [B, S, D]
+    kernel: jnp.ndarray,    # [D, V]
+    loss_pos: jnp.ndarray,  # i32 [Nt, 2] (batch_row, predicting position)
+    loss_tgt: jnp.ndarray,  # i32 [Nt]
+    valid_vocab: Optional[int] = None,
+    chunk_size: int = 2048,
+) -> jnp.ndarray:
+    """Chunked CE evaluated ONLY at gathered target positions.
+
+    In mixed multimodal batches most positions carry no loss (image patches,
+    observations, separators are never targets — gato_policy.py:292,301,312,
+    345), so projecting every position through the [D, V] head wastes the
+    majority of the dominant matmul.  The packer precomputes (row, pos, tgt)
+    triples (data/batch.py::add_loss_entries_np); entries with row == B are
+    padding and masked out.  Numerically identical to the dense path:
+    masked-sum / count over the same target set.
+    """
+    B = hidden.shape[0]
+    V = kernel.shape[-1]
+    Nt = loss_pos.shape[0]
+    compute_dtype = hidden.dtype
+
+    valid = (loss_pos[:, 0] < B).astype(jnp.float32)
+    rows = jnp.minimum(loss_pos[:, 0], B - 1)
+    cols = loss_pos[:, 1]
+    h = hidden[rows, cols]  # [Nt, D]
+    if valid_vocab is not None:
+        tgt = jnp.clip(loss_tgt, 0, min(V, valid_vocab) - 1)
+    else:
+        tgt = loss_tgt
+
+    C = min(chunk_size, Nt)
+    if Nt % C != 0:
+        pad = C - Nt % C
+        h = jnp.pad(h, ((0, pad), (0, 0)))
+        tgt = jnp.pad(tgt, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        Nt += pad
+    n_chunks = Nt // C
+
+    kernel_c = kernel.astype(compute_dtype)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
+
+    @jax.checkpoint
+    def chunk_nll(x, t, m):
+        logits = jnp.einsum(
+            "nd,dv->nv", x, kernel_c, preferred_element_type=jnp.float32
+        )
+        if valid_vocab is not None and valid_vocab < V:
+            logits = jnp.where(col_ids < valid_vocab, logits, -1e30)
+        logz = jax.nn.logsumexp(logits, axis=-1)
+        tl = jnp.take_along_axis(logits, t[:, None], axis=-1)[:, 0]
+        return (jnp.where(m > 0, logz - tl, 0.0)).sum()
+
+    total = jnp.zeros((), jnp.float32)
+    for i in range(n_chunks):
+        sl = slice(i * C, (i + 1) * C)
+        total = total + chunk_nll(h[sl], tgt[sl], valid[sl])
+    return total / jnp.maximum(valid.sum(), 1.0)

@@ -78,6 +78,7 @@ class Trainer:
             "--mesh_model_axis"
         )
         self.patch_budget = self._compute_patch_budget()
+        self.target_budget = self._compute_target_budget()
         self._prefetcher = None
 
     def _compute_patch_budget(self) -> int:
@@ -103,6 +104,32 @@ class Trainer:
         if budget == 0:
             return 0
         return -(-budget // 256) * 256  # round up for clean 'data' sharding
+
+    def _compute_target_budget(self) -> int:
+        """Worst-case loss-target count per batch for the gathered-loss path
+        (ops/losses.py::gathered_masked_xent); 0 -> dense loss."""
+        bs = self.args.batch_size
+        S = self.args.sequence_length
+        n_text = int(self.args.text_prop * bs) + 1 if self.text_tasks else 0
+        n_caption = int(self.args.caption_prop * bs) + 1 if self.caption_tasks else 0
+        n_vqa = int(self.args.vqa_prop * bs) + 1 if self.vqa_tasks else 0
+        control_prop = 1 - self.args.text_prop - self.args.caption_prop - self.args.vqa_prop
+        n_control = int(control_prop * bs) + 1 if self.control_tasks else 0
+
+        budget = n_text * (S - 1)
+        if self.control_tasks:
+            budget += n_control * max(
+                t.context_timesteps * t.action_tokens for t in self.control_tasks
+            )
+        for tasks, n in ((self.caption_tasks, n_caption), (self.vqa_tasks, n_vqa)):
+            if tasks:
+                budget += n * max(
+                    S - t.patches_per_image - 1 for t in tasks
+                )
+        budget = -(-budget // 256) * 256
+        if budget >= 0.75 * bs * S:
+            return 0  # gathering wouldn't pay; use the dense chunked loss
+        return budget
 
     # ----------------------------------------------------------- lifecycle
     def init_state(self, init_state: Optional[TrainState] = None):
@@ -200,7 +227,11 @@ class Trainer:
                 examples += task.sample_batch(sizes["vqa"])
         if sizes["control"] > 0:
             examples += self.sample_control_batch(sizes["control"])
-        arrays = self.packer.pack_batch(examples, patch_budget=self.patch_budget)
+        arrays = self.packer.pack_batch(
+            examples,
+            patch_budget=self.patch_budget,
+            target_budget=self.target_budget,
+        )
         arrays.pop("lengths")
         return arrays
 

@@ -241,3 +241,50 @@ def test_prefill_decode_matches_full_forward():
             np.asarray(full_logits[0, i]),
             atol=2e-4,
         )
+
+
+def test_gathered_loss_matches_dense():
+    """The gathered-target loss path equals the dense chunked path."""
+    cfg = CFG.replace(dropout=0.0)
+    model = NekoModel(cfg)
+    p = SequencePacker(cfg)
+    examples = [
+        {"text": [10, 11, 12, 13]},
+        {
+            "continuous_obs": np.array([[0.1, -0.2]] * 3, np.float32),
+            "continuous_actions": np.array([[0.3]] * 3, np.float32),
+        },
+        {
+            "images": np.random.RandomState(0)
+            .randint(0, 255, (2, 16, 32, 3))
+            .astype(np.float32),
+            "discrete_actions": np.array([1, 2], np.int32),
+        },
+    ]
+    dense = p.pack_batch(examples)
+    dense.pop("lengths")
+    gathered = p.pack_batch(examples, target_budget=64)
+    gathered.pop("lengths")
+    b_dense = to_device_batch(dense)
+    b_gath = to_device_batch(gathered)
+    assert b_gath.loss_pos is not None and b_dense.loss_pos is None
+
+    params = model.init({"params": jax.random.key(0)}, b_dense)["params"]
+    _, l_dense = model.apply(
+        {"params": params}, b_dense, deterministic=True, compute_loss=True
+    )
+    _, l_gath = model.apply(
+        {"params": params}, b_gath, deterministic=True, compute_loss=True
+    )
+    np.testing.assert_allclose(float(l_gath), float(l_dense), rtol=1e-5)
+
+    # grads agree too
+    def lf(p, batch):
+        return model.apply(
+            {"params": p}, batch, deterministic=True, compute_loss=True
+        )[1]
+
+    g1 = jax.grad(lambda p: lf(p, b_dense))(params)
+    g2 = jax.grad(lambda p: lf(p, b_gath))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
