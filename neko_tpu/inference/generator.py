@@ -25,7 +25,7 @@ Semantics preserved:
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,10 @@ class Generator:
         self._embed_tokens = jax.jit(self._embed_tokens_impl)
         self._select = jax.jit(
             self._select_impl, static_argnames=("start", "end", "deterministic")
+        )
+        self._select_batch = jax.jit(
+            self._select_batch_impl,
+            static_argnames=("start", "end", "deterministic"),
         )
 
     # ------------------------------------------------------------ jit impls
@@ -163,6 +167,76 @@ class Generator:
             pos += 1
 
         return np.asarray(out_tokens, np.int64), np.stack(out_logits)
+
+    # ------------------------------------------------------------- batched
+    def generate_batch(
+        self,
+        examples: Sequence[Dict],
+        *,
+        max_new_tokens: int,
+        start: int,
+        end: int,
+        deterministic: bool = True,
+        drop_trailing: int = 0,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Generate for a batch of prompts in lockstep (right-padded prompts,
+        per-row decode positions).  Returns (tokens [N, T], window_logits
+        [N, T, end-start+1]).  The reference evaluates text/caption/VQA one
+        example at a time (text_task.py:80-102); batching the KV-cache decode
+        amortizes per-step dispatch across the batch.
+
+        All rows generate max_new_tokens; callers truncate per example.
+        Prompts must fit: max(L_i) + max_new_tokens <= context_len.
+        """
+        S = self.cfg.context_len
+        N = len(examples)
+        arrays = self.packer.pack_batch(examples, pad_side="right")
+        lengths = arrays.pop("lengths") - drop_trailing
+        if int(lengths.max()) + max_new_tokens > S:
+            raise ValueError(
+                f"batched generation would overflow the context "
+                f"({int(lengths.max())} + {max_new_tokens} > {S}); use "
+                "generate() which slides the window"
+            )
+        batch = to_device_batch(arrays)
+        emb = self._embed_batch(self.params, batch)
+        if rng is None:
+            rng = jax.random.key(0)
+
+        mask = np.zeros((N, S), bool)
+        for i, L in enumerate(lengths):
+            mask[i, :L] = True
+        logits, cache = self._prefill(self.params, emb, jnp.asarray(mask))
+        pos = jnp.asarray(lengths, jnp.int32)
+        rows = jnp.arange(N)
+        last_logits = logits[rows, pos - 1]  # [N, V]
+
+        out_tokens = np.zeros((N, max_new_tokens), np.int64)
+        out_logits = np.zeros((N, max_new_tokens, end - start + 1), np.float32)
+        for t in range(max_new_tokens):
+            rng, key = jax.random.split(rng)
+            toks, window = self._select_batch(
+                last_logits, key, start=start, end=end,
+                deterministic=deterministic,
+            )
+            out_tokens[:, t] = np.asarray(toks)
+            out_logits[:, t] = np.asarray(window)
+            if t == max_new_tokens - 1:
+                break
+            tok_emb = self._embed_tokens(self.params, toks[:, None])
+            step_logits, cache = self._decode(self.params, cache, tok_emb, pos)
+            last_logits = step_logits[:, 0]
+            pos = pos + 1
+        return out_tokens, out_logits
+
+    def _select_batch_impl(self, logits, key, *, start, end, deterministic):
+        window = logits[:, start : end + 1]
+        if deterministic:
+            tok = jnp.argmax(window, axis=-1)
+        else:
+            tok = jax.random.categorical(key, window, axis=-1)
+        return (tok + start).astype(jnp.int32), window
 
     # ------------------------------------------------------ task-level API
     def predict_text(

@@ -101,36 +101,46 @@ class CaptionTask(Task):
         log_examples_to_output: bool = False,
     ) -> Dict[str, float]:
         num = min(num_examples_to_test, len(self.test_indices))
-        total_loss, tested = 0.0, 0
         ts = generator.cfg.token_space
+        items = []
         for n in range(num):
-            source = self.test_source
-            sample = source.get(int(self.test_indices[n % len(self.test_indices)]))
+            sample = self.test_source.get(
+                int(self.test_indices[n % len(self.test_indices)])
+            )
             target = self.text_tokenizer.encode(sample["caption"])
-            if len(target) == 0:
-                continue
-            # predict_response semantics: prompt = [image patches] (+ text so
-            # far); logits read at the last non-separator position — dropping
-            # the trailing SEP is causally identical (gato_policy.py:477-544)
-            tokens, logits = generator.generate(
-                {"images": sample["image"][None], "text": []},
-                max_new_tokens=len(target),
+            if len(target) > 0:
+                items.append((sample, list(target)))
+
+        # predict_response semantics: prompt = [image patches] (+ text so
+        # far); logits read at the last non-separator position — dropping
+        # the trailing SEP is causally identical (gato_policy.py:477-544).
+        # Batched KV-cache decode amortizes per-step dispatch.
+        total_loss, tested = 0.0, 0
+        GROUP = 8
+        for g in range(0, len(items), GROUP):
+            group = items[g : g + GROUP]
+            max_new = max(len(t) for _, t in group)
+            toks, logits = generator.generate_batch(
+                [{"images": s["image"][None], "text": []} for s, _ in group],
+                max_new_tokens=max_new,
                 start=ts.start("text"),
                 end=ts.end("text"),
                 deterministic=deterministic,
                 drop_trailing=1,
             )
-            if log_examples_to_output and n % 50 == 0:
-                print(
-                    f"caption target: {sample['caption']!r} | "
-                    f"pred: {self.text_tokenizer.decode(list(tokens))!r}"
-                )
-            logits = logits.astype(np.float64)
-            m = logits.max(-1, keepdims=True)
-            logz = np.log(np.exp(logits - m).sum(-1)) + m[:, 0]
-            tgt = np.asarray(target)
-            nll = logz - logits[np.arange(len(tgt)), tgt]
-            total_loss += float(nll.mean())
-            tested += 1
+            for i, (sample, target) in enumerate(group):
+                lg = logits[i, : len(target)].astype(np.float64)
+                if log_examples_to_output and tested % 50 == 0:
+                    pred = toks[i, : len(target)] - ts.start("text")
+                    print(
+                        f"caption target: {sample['caption']!r} | "
+                        f"pred: {self.text_tokenizer.decode(list(pred))!r}"
+                    )
+                m = lg.max(-1, keepdims=True)
+                logz = np.log(np.exp(lg - m).sum(-1)) + m[:, 0]
+                tgt = np.asarray(target)
+                nll = logz - lg[np.arange(len(tgt)), tgt]
+                total_loss += float(nll.mean())
+                tested += 1
         avg = total_loss / max(tested, 1)
         return {"loss": avg, "perplexity": float(np.exp(avg))}

@@ -102,32 +102,59 @@ class TextTask(Task):
         )
         batch_dicts = self.sample_batch(num_examples_to_test, is_test=True)
 
-        total_loss = 0.0
-        tested = 0
-        for idx in range(min(num_examples_to_test, len(batch_dicts))):
-            tokens = batch_dicts[idx]["text"]
+        # random split point per example (text_task.py:84)
+        items = []
+        for bd in batch_dicts[:num_examples_to_test]:
+            tokens = bd["text"]
             if len(tokens) < 2:
                 continue
             split = self.rng.randint(1, len(tokens))
-            input_tokens, target_tokens = tokens[:split], tokens[split:]
-            logits, pred = generator.predict_text(
-                {"text": input_tokens},
-                max_length=len(target_tokens),
-                deterministic=deterministic,
-            )
-            if log_examples_to_output and idx % 50 == 0:
-                print(
-                    f"input: {self.text_tokenizer.decode(input_tokens)!r} | "
-                    f"pred: {self.text_tokenizer.decode(list(pred))!r}"
+            items.append((tokens[:split], tokens[split:]))
+
+        ts = generator.cfg.token_space
+        total_loss = 0.0
+        tested = 0
+        GROUP = 16  # batched KV-cache decode amortizes per-step dispatch
+        for g in range(0, len(items), GROUP):
+            group = items[g : g + GROUP]
+            max_new = max(len(t) for _, t in group)
+            max_prompt = max(len(i) + 1 for i, _ in group)  # +1 separator
+            if max_prompt + max_new > self.context_length:
+                results = [
+                    generator.predict_text(
+                        {"text": inp}, max_length=len(tgt),
+                        deterministic=deterministic,
+                    )
+                    for inp, tgt in group
+                ]
+                per_example = [(lg, pr) for lg, pr in results]
+            else:
+                toks, logits = generator.generate_batch(
+                    [{"text": inp} for inp, _ in group],
+                    max_new_tokens=max_new,
+                    start=ts.start("text"),
+                    end=ts.end("text"),
+                    deterministic=deterministic,
                 )
-            # CE of generated-token logits vs target ids (text_task.py:98-102)
-            logits = logits.astype(np.float64)
-            logz = np.log(np.exp(logits - logits.max(-1, keepdims=True)).sum(-1)) \
-                + logits.max(-1)
-            tgt = np.asarray(target_tokens)
-            nll = logz - logits[np.arange(len(tgt)), tgt]
-            total_loss += float(nll.mean())
-            tested += 1
+                per_example = [
+                    (logits[i, : len(group[i][1])],
+                     toks[i, : len(group[i][1])] - ts.start("text"))
+                    for i in range(len(group))
+                ]
+            for (inp, tgt), (lg, pred) in zip(group, per_example):
+                if log_examples_to_output and tested % 50 == 0:
+                    print(
+                        f"input: {self.text_tokenizer.decode(inp)!r} | "
+                        f"pred: {self.text_tokenizer.decode(list(pred))!r}"
+                    )
+                # CE of generated-token logits vs target (text_task.py:98-102)
+                lg = lg.astype(np.float64)
+                m = lg.max(-1, keepdims=True)
+                logz = np.log(np.exp(lg - m).sum(-1)) + m[:, 0]
+                tgt_arr = np.asarray(tgt)
+                nll = logz - lg[np.arange(len(tgt_arr)), tgt_arr]
+                total_loss += float(nll.mean())
+                tested += 1
 
         avg_loss = total_loss / max(tested, 1)
         return {"loss": avg_loss, "perplexity": float(np.exp(avg_loss))}

@@ -129,7 +129,7 @@ class VqaTask(Task):
     ) -> Dict[str, float]:
         num = min(num_examples_to_test, len(self.test_items))
         ts = generator.cfg.token_space
-        total_loss, tested = 0.0, 0
+        items = []
         for n in range(num):
             item = self.test_items[n]
             if not item["answers"]:
@@ -138,26 +138,36 @@ class VqaTask(Task):
             target = self.text_tokenizer.encode(" " + answer)
             if len(target) == 0:
                 continue
-            prompt_tokens = self.text_tokenizer.encode(item["question"])
-            tokens, logits = generator.generate(
-                {"images": self._image(item)[None], "text": list(prompt_tokens)},
-                max_new_tokens=len(target),
+            prompt = self.text_tokenizer.encode(item["question"])
+            items.append((item, answer, list(prompt), list(target)))
+
+        total_loss, tested = 0.0, 0
+        GROUP = 8  # batched KV-cache decode
+        for g in range(0, len(items), GROUP):
+            group = items[g : g + GROUP]
+            max_new = max(len(t) for _, _, _, t in group)
+            toks, logits = generator.generate_batch(
+                [{"images": self._image(it)[None], "text": pr}
+                 for it, _, pr, _ in group],
+                max_new_tokens=max_new,
                 start=ts.start("text"),
                 end=ts.end("text"),
                 deterministic=deterministic,
                 drop_trailing=1,  # SEP is causally invisible to the read pos
             )
-            if log_examples_to_output and n % 50 == 0:
-                print(
-                    f"Q: {item['question']!r} A: {answer!r} | "
-                    f"pred: {self.text_tokenizer.decode(list(tokens))!r}"
-                )
-            logits = logits.astype(np.float64)
-            m = logits.max(-1, keepdims=True)
-            logz = np.log(np.exp(logits - m).sum(-1)) + m[:, 0]
-            tgt = np.asarray(target)
-            nll = logz - logits[np.arange(len(tgt)), tgt]
-            total_loss += float(nll.mean())
-            tested += 1
+            for i, (item, answer, _, target) in enumerate(group):
+                lg = logits[i, : len(target)].astype(np.float64)
+                if log_examples_to_output and tested % 50 == 0:
+                    pred = toks[i, : len(target)] - ts.start("text")
+                    print(
+                        f"Q: {item['question']!r} A: {answer!r} | "
+                        f"pred: {self.text_tokenizer.decode(list(pred))!r}"
+                    )
+                m = lg.max(-1, keepdims=True)
+                logz = np.log(np.exp(lg - m).sum(-1)) + m[:, 0]
+                tgt = np.asarray(target)
+                nll = logz - lg[np.arange(len(tgt)), tgt]
+                total_loss += float(nll.mean())
+                tested += 1
         avg = total_loss / max(tested, 1)
         return {"loss": avg, "perplexity": float(np.exp(avg))}

@@ -195,3 +195,28 @@ def test_text_task_evaluate():
     task._data["test"] = ["aab abb bba", "abc cba bac"]
     metrics = task.evaluate(gen, num_examples_to_test=2)
     assert np.isfinite(metrics["loss"]) and metrics["perplexity"] > 0
+
+
+def test_generate_batch_matches_serial():
+    """Batched lockstep generation equals per-example generation."""
+    gen = make_generator()
+    ts = CFG.token_space
+    examples = [{"text": [1, 2, 3]}, {"text": [9, 8, 7, 6, 5]}]
+    bt, bl = gen.generate_batch(
+        examples, max_new_tokens=4, start=0, end=ts.end("text"),
+    )
+    for i, ex in enumerate(examples):
+        st, sl = gen.generate(
+            ex, max_new_tokens=4, start=0, end=ts.end("text")
+        )
+        np.testing.assert_array_equal(bt[i], st)
+        np.testing.assert_allclose(bl[i], sl, atol=3e-5)
+
+
+def test_generate_batch_overflow_raises():
+    gen = make_generator()
+    with pytest.raises(ValueError, match="overflow"):
+        gen.generate_batch(
+            [{"text": list(range(1, CFG.context_len - 2))}],
+            max_new_tokens=10, start=0, end=10,
+        )
