@@ -46,9 +46,8 @@ def run(cli) -> dict:
     # --render: build envs with a human render window (reference eval.py:139)
     tasks = None
     if getattr(cli, "render", False) and args.control_datasets:
-        from neko_tpu.cli.build import build_tasks, select_platform
+        from neko_tpu.cli.build import select_platform
         from neko_tpu.envs.setup_env import expand_dataset_names, load_envs
-        from neko_tpu.tasks.control import ControlTask
 
         select_platform(args)
         envs, datasets = load_envs(
@@ -112,6 +111,24 @@ def run(cli) -> dict:
             )
             for k, v in m.items():
                 logs[f"evaluation/text/{k}"] = v
+        elif getattr(task, "task_kind", "") == "caption":
+            # caption/VQA standalone eval is a capability the reference
+            # lacks (its eval.py covers control+text only, eval.py:106-115)
+            m = task.evaluate(
+                gen,
+                num_examples_to_test=args.eval_caption_num_examples,
+                deterministic=deterministic,
+            )
+            for k, v in m.items():
+                logs[f"evaluation/caption/{k}"] = v
+        elif getattr(task, "task_kind", "") == "vqa":
+            m = task.evaluate(
+                gen,
+                num_examples_to_test=args.eval_vqa_num_examples,
+                deterministic=deterministic,
+            )
+            for k, v in m.items():
+                logs[f"evaluation/VQA/{k}"] = v
     for k, v in logs.items():
         print(f"{k}: {v}")
     return logs

@@ -150,6 +150,19 @@ class Trainer:
                 self.logger.log(logs, step=self.steps, header=f"Iteration {i}")
             if self.args.save_model and self.args.save_mode == "last":
                 save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+        except BaseException:
+            # preemption / failure safety: persist the full train state so
+            # --resume_from continues exactly (the reference has no failure
+            # handling at all, SURVEY.md §5.3)
+            if self.args.save_model and self.state is not None:
+                try:
+                    path = save_checkpoint(
+                        self.exp_dir, self.state, self.steps, self.args
+                    )
+                    print(f"[neko-tpu] emergency checkpoint: {path}")
+                except Exception as e:  # noqa: BLE001
+                    print(f"[neko-tpu] emergency checkpoint failed: {e}")
+            raise
         finally:
             if self._prefetcher is not None:
                 self._prefetcher.close()
