@@ -295,3 +295,43 @@ class Generator:
             n_bins=ts.continuous_tokens,
             offset=ts.continuous_start,
         )
+
+    def predict_control_batch(
+        self,
+        examples: Sequence[Dict],
+        *,
+        action_kind: str,
+        action_tokens: int,
+        num_actions: Optional[int] = None,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ):
+        """predict_control for several env instances in lockstep.
+
+        Returns a list of actions (ints for discrete, float arrays for
+        continuous) — one per example."""
+        ts = self.cfg.token_space
+        start = ts.start(action_kind)
+        end = ts.end(action_kind)
+        if action_kind == "discrete":
+            assert action_tokens == 1 and num_actions is not None
+            end = start + num_actions - 1
+        tokens, _ = self.generate_batch(
+            examples,
+            max_new_tokens=action_tokens,
+            start=start,
+            end=end,
+            deterministic=deterministic,
+            drop_trailing=action_tokens,
+            rng=rng,
+        )
+        if action_kind == "discrete":
+            return [int(t[0] - start) for t in tokens]
+        return [
+            decode_np(
+                t.astype(np.int32),
+                n_bins=ts.continuous_tokens,
+                offset=ts.continuous_start,
+            )
+            for t in tokens
+        ]

@@ -275,13 +275,37 @@ class ControlTask(Task):
         return out
 
     # ---------------------------------------------------------- evaluation
+    def _clone_env(self):
+        """Fresh env instance for parallel rollouts (deepcopy, falling back
+        to re-making from the registered spec)."""
+        import copy
+
+        try:
+            return copy.deepcopy(self.env)
+        except Exception:
+            spec = getattr(self.env, "spec", None)
+            if spec is None:
+                raise
+            import gymnasium as gym
+
+            return gym.make(spec)
+
     def evaluate(
         self,
         generator: Generator,
         n_iterations: int = 10,
         deterministic: bool = True,
         promptless_eval: bool = False,
+        parallel_episodes: int = 1,
     ) -> Dict[str, float]:
+        if parallel_episodes > 1:
+            try:
+                return self._evaluate_parallel(
+                    generator, n_iterations, deterministic, promptless_eval,
+                    parallel_episodes,
+                )
+            except Exception as e:  # env not clonable etc. -> serial
+                print(f"[neko-tpu] parallel eval unavailable ({e}); serial")
         returns, clipped_returns, ep_lens = [], [], []
         ctx_ts = generator.cfg.context_len // self.tokens_per_timestep
 
@@ -340,6 +364,104 @@ class ControlTask(Task):
             returns.append(ep_return)
             clipped_returns.append(ep_clip)
             ep_lens.append(ep_len)
+
+        metrics = {
+            "mean_return": float(np.mean(returns)),
+            "mean_episode_len": float(np.mean(ep_lens)),
+        }
+        if self.is_atari:
+            metrics["mean_clipped_return"] = float(np.mean(clipped_returns))
+        return metrics
+
+    def _evaluate_parallel(
+        self,
+        generator: Generator,
+        n_iterations: int,
+        deterministic: bool,
+        promptless_eval: bool,
+        parallel_episodes: int,
+    ) -> Dict[str, float]:
+        """Lockstep rollouts over cloned envs: one batched KV-cache decode
+        serves every active episode per env step (the reference runs
+        episodes strictly serially, control_task.py:113-166)."""
+        ctx_ts = generator.cfg.context_len // self.tokens_per_timestep
+        returns, clipped_returns, ep_lens = [], [], []
+        remaining = n_iterations
+        act_dtype = (
+            np.float32 if self.action_kind == "continuous" else np.int32
+        )
+        while remaining > 0:
+            G = min(parallel_episodes, remaining)
+            envs = [self._clone_env() for _ in range(G)]
+            obs = []
+            obs_hist: List = []
+            act_hist: List = []
+            for env in envs:
+                o, _ = env.reset()
+                obs.append(o)
+                if promptless_eval:
+                    obs_hist.append(None)
+                    act_hist.append(None)
+                else:
+                    prompt = self.sample_batch_configurable(
+                        1, [1.0], ["end"],
+                        max_tokens=generator.cfg.context_len,
+                        share_prompt_episodes=True,
+                        ep_ids=self.top_ids,
+                    )[0]
+                    obs_hist.append(prompt[self.obs_str])
+                    act_hist.append(prompt[self.action_str])
+            done = [False] * G
+            ep_ret = [0.0] * G
+            ep_clip = [0.0] * G
+            ep_len = [0] * G
+
+            while not all(done):
+                examples = []
+                for i in range(G):
+                    if not done[i]:
+                        new_obs = self._obs_array(np.asarray(obs[i])[None])
+                        new_act = np.zeros((1, self.action_tokens), act_dtype)
+                        if obs_hist[i] is None:
+                            obs_hist[i], act_hist[i] = new_obs, new_act
+                        else:
+                            obs_hist[i] = np.concatenate(
+                                [obs_hist[i], new_obs], axis=0
+                            )[-ctx_ts:]
+                            act_hist[i] = np.concatenate(
+                                [act_hist[i], new_act], axis=0
+                            )[-ctx_ts:]
+                    examples.append(
+                        {
+                            self.obs_str: obs_hist[i],
+                            self.action_str: act_hist[i],
+                        }
+                    )
+                actions = generator.predict_control_batch(
+                    examples,
+                    action_kind=self.action_kind,
+                    action_tokens=self.action_tokens,
+                    num_actions=self.num_actions,
+                    deterministic=deterministic,
+                )
+                for i in range(G):
+                    if done[i]:
+                        continue
+                    act_hist[i][-1] = actions[i]
+                    env_action = (
+                        int(actions[i]) if self.action_kind == "discrete"
+                        else np.asarray(actions[i], np.float32)
+                    )
+                    o, reward, term, trunc, _ = envs[i].step(env_action)
+                    obs[i] = o
+                    done[i] = term or trunc
+                    ep_ret[i] += reward
+                    ep_clip[i] += float(np.clip(reward, -1.0, 1.0))
+                    ep_len[i] += 1
+            returns += ep_ret
+            clipped_returns += ep_clip
+            ep_lens += ep_len
+            remaining -= G
 
         metrics = {
             "mean_return": float(np.mean(returns)),

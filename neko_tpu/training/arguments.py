@@ -78,6 +78,7 @@ class TrainingArgs:
 
     # Evaluation (reference:91-96)
     eval_episodes: int = field(default=10)
+    eval_parallel_episodes: int = field(default=1, metadata={"help": "Roll out this many control-eval episodes in lockstep with one batched decode per env step (TPU extension; 1 = reference-style serial)."})
     eval_mode: Literal["deterministic", "stochastic"] = field(default="deterministic")
     promptless_eval: bool = field(default=False)
     eval_text_num_examples: int = field(default=100)

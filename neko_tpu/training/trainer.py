@@ -344,6 +344,9 @@ class Trainer:
                         n_iterations=self.args.eval_episodes,
                         deterministic=self.deterministic,
                         promptless_eval=self.args.promptless_eval,
+                        parallel_episodes=getattr(
+                            self.args, "eval_parallel_episodes", 1
+                        ),
                     )
                     for k, v in m.items():
                         logs[f"evaluation/{task.name}/{k}"] = v

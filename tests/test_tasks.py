@@ -220,3 +220,16 @@ def test_generate_batch_overflow_raises():
             [{"text": list(range(1, CFG.context_len - 2))}],
             max_new_tokens=10, start=0, end=10,
         )
+
+
+def test_control_parallel_eval_matches_structure():
+    """Parallel lockstep rollouts produce the same metric keys and episode
+    lengths as serial (fixed-horizon env)."""
+    env, ds = load_env_dataset(
+        "neko-synth-continuous-v0", {"n_episodes": 4, "horizon": 5}
+    )
+    task = ControlTask("synth", env, ds, context_len=CFG.context_len, seed=0)
+    gen = make_generator()
+    m = task.evaluate(gen, n_iterations=3, parallel_episodes=3)
+    assert m["mean_episode_len"] == 5
+    assert "mean_return" in m
