@@ -341,13 +341,24 @@ class SequencePacker:
         """
         S = self.S if seq_len is None else seq_len
         B = len(examples)
-        N = (B * self.P) if patch_budget is None else patch_budget
+        packed = [
+            ex if isinstance(ex, PackedExample) else self.pack_example(ex)
+            for ex in examples
+        ]
+        if patch_budget is None:
+            # auto budget: the per-example floor keeps shapes stable across
+            # steps; grow (in 256-buckets) if a batch actually needs more
+            needed = sum(pe.patches.shape[0] for pe in packed)
+            N = B * self.P
+            if needed > N:
+                N = -(-needed // 256) * 256
+        else:
+            N = patch_budget
         out = empty_batch_np(B, S, N, self.ps)
         lengths = np.zeros(B, np.int32)
         n_used = 0
 
-        for i, ex in enumerate(examples):
-            pe = ex if isinstance(ex, PackedExample) else self.pack_example(ex)
+        for i, pe in enumerate(packed):
             L = pe.length
             if L > S:
                 raise ValueError(f"packed example length {L} exceeds context {S}")

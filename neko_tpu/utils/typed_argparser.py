@@ -107,6 +107,7 @@ class TypedArgumentParser(argparse.ArgumentParser):
     def parse_args_into_dataclasses(
         self, args=None, return_remaining_strings: bool = False
     ):
+        args = self._expand_args_files(args)
         namespace, remaining = self.parse_known_args(args)
         outputs = []
         for dtype in self.dataclass_types:
@@ -118,6 +119,25 @@ class TypedArgumentParser(argparse.ArgumentParser):
         if remaining:
             raise ValueError(f"Unrecognized arguments: {remaining}")
         return tuple(outputs)
+
+    @staticmethod
+    def _expand_args_files(args):
+        """Inline the contents of `.args` files given on the command line
+        (reference typed_argparser.py:306-334 behaviour: file args come
+        first, so explicit CLI flags override them)."""
+        import sys
+
+        if args is None:
+            args = sys.argv[1:]
+        file_args: list = []
+        rest: list = []
+        for a in args:
+            if isinstance(a, str) and a.endswith(".args"):
+                with open(a) as fh:
+                    file_args += fh.read().split()
+            else:
+                rest.append(a)
+        return file_args + rest
 
     def parse_dict(self, data: Dict[str, Any], allow_extra_keys: bool = True):
         outputs = []

@@ -233,3 +233,20 @@ def test_control_parallel_eval_matches_structure():
     m = task.evaluate(gen, n_iterations=3, parallel_episodes=3)
     assert m["mean_episode_len"] == 5
     assert "mean_return" in m
+
+
+def test_control_image_rollout_with_prompt():
+    """Image-obs env rollout incl. an 'end'-type prompt + top-k filter."""
+    env, ds = load_env_dataset(
+        "neko-synth-image-v0", {"n_episodes": 6, "horizon": 4}
+    )
+    task = ControlTask(
+        "synth-img", env, ds, context_len=CFG.context_len,
+        top_k_prompting=3, seed=0,
+    )
+    assert task.top_ids is not None and len(task.top_ids) == 3
+    gen = make_generator()
+    m = task.evaluate(gen, n_iterations=1, deterministic=True)
+    assert m["mean_episode_len"] == 4
+    m2 = task.evaluate(gen, n_iterations=2, parallel_episodes=2)
+    assert m2["mean_episode_len"] == 4
