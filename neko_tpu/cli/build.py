@@ -79,6 +79,8 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
                 test_data=args.caption_test_data,
                 test_data_prop=args.test_data_prop,
                 tokenizer_model=args.tokenizer_model_name,
+                patch_size=args.patch_size,
+                context_length=args.sequence_length,
                 seed=args.seed,
             )
         )
@@ -97,6 +99,8 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
                 questions_file=args.questions_file,
                 annotations_file=args.annotations_file,
                 tokenizer_model=args.tokenizer_model_name,
+                patch_size=args.patch_size,
+                context_length=args.sequence_length,
                 seed=args.seed,
             )
         )

@@ -236,6 +236,11 @@ class SequencePacker:
         L = tokens.shape[0]
         if L > self.S:
             drop_ts = -(-(L - self.S) // k)  # ceil in timesteps
+            if drop_ts >= T:
+                raise ValueError(
+                    f"a single timestep of {k} tokens cannot fit the "
+                    f"context ({self.S}); shorten the text/patch content"
+                )
             keep_from = drop_ts * k
             tokens = tokens[keep_from:]
             target = target[keep_from:]

@@ -51,9 +51,7 @@ def load_atari_env(env_name: str, load_kwargs: dict):
     )
     env = AtariPreprocessing(env, frame_skip=4, noop_max=0)
     if clip_rewards:
-        try:
-            from gymnasium.wrappers import TransformReward
-        except ImportError:  # gymnasium >= 1.0 renamed it
-            from gymnasium.wrappers import TransformReward as TransformReward
+        from gymnasium.wrappers import TransformReward
+
         env = TransformReward(env, lambda r: np.clip(r, -1.0, 1.0))
     return env

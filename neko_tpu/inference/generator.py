@@ -39,11 +39,15 @@ from neko_tpu.tokenizers.continuous import decode_np
 
 
 class Generator:
-    def __init__(self, model: NekoModel, params, packer: Optional[SequencePacker] = None):
+    def __init__(self, model: NekoModel, params, packer: Optional[SequencePacker] = None, seed: int = 0):
         self.model = model
         self.cfg = model.cfg
         self.params = params
         self.packer = packer or SequencePacker(model.cfg)
+        # persistent sampling stream: callers that pass rng=None still get
+        # fresh draws on every call (a fixed default key would make
+        # 'stochastic' evaluation deterministic across calls)
+        self._rng = jax.random.key(seed)
 
         self._embed_batch = jax.jit(self._embed_batch_impl)
         self._prefill = jax.jit(self._prefill_impl)
@@ -126,7 +130,7 @@ class Generator:
         else:
             emb, L = prompt_emb, int(prompt_len)
         if rng is None:
-            rng = jax.random.key(0)
+            self._rng, rng = jax.random.split(self._rng)
 
         mask = np.zeros((1, S), bool)
         mask[0, :L] = True
@@ -202,7 +206,7 @@ class Generator:
         batch = to_device_batch(arrays)
         emb = self._embed_batch(self.params, batch)
         if rng is None:
-            rng = jax.random.key(0)
+            self._rng, rng = jax.random.split(self._rng)
 
         mask = np.zeros((N, S), bool)
         for i, L in enumerate(lengths):

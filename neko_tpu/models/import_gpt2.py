@@ -69,7 +69,10 @@ def convert_transformer_state_dict(
 
     tr = dict(transformer_params)
     for i in range(n_layers):
-        blk = {k: dict(v) for k, v in tr[f"h_{i}"].items()}
+        blk = {
+            k: (dict(v) if isinstance(v, dict) else v)
+            for k, v in tr[f"h_{i}"].items()
+        }
         p = f"h.{i}."
         blk["ln_1"] = {
             "scale": jnp.asarray(_np(sd[p + "ln_1.weight"])),
@@ -79,7 +82,10 @@ def convert_transformer_state_dict(
             "scale": jnp.asarray(_np(sd[p + "ln_2.weight"])),
             "bias": jnp.asarray(_np(sd[p + "ln_2.bias"])),
         }
+        # merge (don't replace) so extra adapter params (lora_a/lora_b) and
+        # the GEGLU gate keep their fresh initialization
         blk["attn"] = {
+            **blk.get("attn", {}),
             "c_attn": {
                 "kernel": jnp.asarray(_np(sd[p + "attn.c_attn.weight"])),
                 "bias": jnp.asarray(_np(sd[p + "attn.c_attn.bias"])),
@@ -90,6 +96,7 @@ def convert_transformer_state_dict(
             },
         }
         blk["mlp"] = {
+            **blk.get("mlp", {}),
             "c_fc": {
                 "kernel": jnp.asarray(_np(sd[p + "mlp.c_fc.weight"])),
                 "bias": jnp.asarray(_np(sd[p + "mlp.c_fc.bias"])),

@@ -39,6 +39,7 @@ class CaptionTask(Task):
         tokenizer_model: str = "gpt2",
         image_size: int = 256,
         patch_size: int = 16,
+        context_length: int = 1024,
         seed: Optional[int] = None,
         source_factory=TarShardCaptionSource,
     ):
@@ -46,6 +47,9 @@ class CaptionTask(Task):
         self.text_tokenizer = get_text_tokenizer(tokenizer_model)
         self.image_size = image_size
         self.patches_per_image = (image_size // patch_size) ** 2
+        # a caption example is ONE timestep [patches | text | SEP]; cap the
+        # text so it always fits the context
+        self.max_text_tokens = max(1, context_length - self.patches_per_image - 1)
 
         if train_data and test_data:
             self.train_source = source_factory(
@@ -83,8 +87,11 @@ class CaptionTask(Task):
     # ------------------------------------------------------------ sampling
     def _example(self, source, idx: int) -> Dict:
         sample = source.get(int(idx))
-        ids = self.text_tokenizer.encode(sample["caption"])
-        return {"images": sample["image"][None], "text": list(ids)}
+        ids = list(self.text_tokenizer.encode(sample["caption"]))
+        return {
+            "images": sample["image"][None],
+            "text": ids[: self.max_text_tokens],
+        }
 
     def sample_batch(self, batch_size: int, is_test: bool = False) -> List[Dict]:
         source = self.test_source if is_test else self.train_source
@@ -107,9 +114,10 @@ class CaptionTask(Task):
             sample = self.test_source.get(
                 int(self.test_indices[n % len(self.test_indices)])
             )
-            target = self.text_tokenizer.encode(sample["caption"])
+            target = list(self.text_tokenizer.encode(sample["caption"]))
+            target = target[: self.max_text_tokens]
             if len(target) > 0:
-                items.append((sample, list(target)))
+                items.append((sample, target))
 
         # predict_response semantics: prompt = [image patches] (+ text so
         # far); logits read at the last non-separator position — dropping

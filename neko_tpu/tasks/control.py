@@ -300,12 +300,18 @@ class ControlTask(Task):
     ) -> Dict[str, float]:
         if parallel_episodes > 1:
             try:
+                clones = [self._clone_env() for _ in range(
+                    min(parallel_episodes, n_iterations))]
+            except Exception as e:  # env not clonable -> serial
+                print(f"[neko-tpu] env not clonable ({e}); serial eval")
+                clones = None
+            if clones is not None:
+                # genuine rollout errors propagate — only clone failures
+                # demote to the serial path
                 return self._evaluate_parallel(
                     generator, n_iterations, deterministic, promptless_eval,
-                    parallel_episodes,
+                    clones,
                 )
-            except Exception as e:  # env not clonable etc. -> serial
-                print(f"[neko-tpu] parallel eval unavailable ({e}); serial")
         returns, clipped_returns, ep_lens = [], [], []
         ctx_ts = generator.cfg.context_len // self.tokens_per_timestep
 
@@ -379,7 +385,7 @@ class ControlTask(Task):
         n_iterations: int,
         deterministic: bool,
         promptless_eval: bool,
-        parallel_episodes: int,
+        clones: List,
     ) -> Dict[str, float]:
         """Lockstep rollouts over cloned envs: one batched KV-cache decode
         serves every active episode per env step (the reference runs
@@ -391,8 +397,8 @@ class ControlTask(Task):
             np.float32 if self.action_kind == "continuous" else np.int32
         )
         while remaining > 0:
-            G = min(parallel_episodes, remaining)
-            envs = [self._clone_env() for _ in range(G)]
+            G = min(len(clones), remaining)
+            envs = clones[:G]
             obs = []
             obs_hist: List = []
             act_hist: List = []

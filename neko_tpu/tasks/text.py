@@ -74,21 +74,28 @@ class TextTask(Task):
 
     def sample_batch(self, batch_size: int, is_test: bool = False) -> List[Dict]:
         rows = self._data["test" if is_test else "train"]
-        idx = self.rng.randint(0, len(rows), size=batch_size)
-        enc = self.text_tokenizer(
-            [rows[i] for i in idx],
-            truncation=True,
-            max_length=self.context_length,
-            return_overflowing_tokens=True,
-            return_length=True,
+        out: List[Dict] = []
+        # resample until full: empty rows are common (e.g. wikitext blank
+        # lines) and a short batch would break the static batch shape the
+        # compiled train step requires
+        for _ in range(64):
+            idx = self.rng.randint(0, len(rows), size=batch_size)
+            enc = self.text_tokenizer(
+                [rows[i] for i in idx],
+                truncation=True,
+                max_length=self.context_length,
+                return_overflowing_tokens=True,
+                return_length=True,
+            )
+            for ids in enc["input_ids"]:
+                if len(ids) > 0:
+                    out.append({"text": list(ids)})
+                    if len(out) == batch_size:
+                        return out
+        raise ValueError(
+            "could not sample a full text batch: dataset appears to contain "
+            "only empty rows"
         )
-        out = []
-        for ids in enc["input_ids"]:
-            if len(ids) > 0:
-                out.append({"text": list(ids)})
-                if len(out) == batch_size:
-                    break
-        return out
 
     def evaluate(
         self,

@@ -82,12 +82,14 @@ class VqaTask(Task):
         tokenizer_model: str = "gpt2",
         image_size: int = 256,
         patch_size: int = 16,
+        context_length: int = 1024,
         seed: Optional[int] = None,
     ):
         self.rng = np.random.RandomState(seed)
         self.text_tokenizer = get_text_tokenizer(tokenizer_model)
         self.image_size = image_size
         self.patches_per_image = (image_size // patch_size) ** 2
+        self.max_text_tokens = max(1, context_length - self.patches_per_image - 1)
         self.train_items = _load_split(
             dataset_dir, train_data, train_img_name_prefix or [],
             train_img_file_name_len or [], questions_file, annotations_file,
@@ -112,10 +114,11 @@ class VqaTask(Task):
                 if item["answers"] else ""
             )
             text = item["question"] + " " + answer
+            ids = list(self.text_tokenizer.encode(text))
             out.append(
                 {
                     "images": self._image(item)[None],
-                    "text": list(self.text_tokenizer.encode(text)),
+                    "text": ids[: self.max_text_tokens],
                 }
             )
         return out
@@ -138,8 +141,12 @@ class VqaTask(Task):
             target = self.text_tokenizer.encode(" " + answer)
             if len(target) == 0:
                 continue
-            prompt = self.text_tokenizer.encode(item["question"])
-            items.append((item, answer, list(prompt), list(target)))
+            prompt = list(self.text_tokenizer.encode(item["question"]))
+            target = list(target)
+            if len(prompt) + len(target) > self.max_text_tokens:
+                prompt = prompt[: max(0, self.max_text_tokens - len(target))]
+                target = target[: self.max_text_tokens]
+            items.append((item, answer, prompt, target))
 
         total_loss, tested = 0.0, 0
         GROUP = 8  # batched KV-cache decode

@@ -80,18 +80,25 @@ class Trainer:
         self.patch_budget = self._compute_patch_budget()
         self.target_budget = self._compute_target_budget()
         self._prefetcher = None
+        self._generator = None
+        # serializes host-side sampling: the prefetch thread and evaluation
+        # share task RNGs and h5py handles, which are not thread-safe
+        import threading
+
+        self._sample_lock = threading.Lock()
 
     def _compute_patch_budget(self) -> int:
         """Worst-case total image patches in one mixture batch, kept constant
         across steps so the compiled step never reshapes (see the global
         patch pool in data/batch.py)."""
         bs = self.args.batch_size
-        # upper bounds per mixture component (+1 for the multinomial residual)
-        n_text_like = int(self.args.text_prop * bs) + 1
-        n_caption = int(self.args.caption_prop * bs) + 1 if self.caption_tasks else 0
-        n_vqa = int(self.args.vqa_prop * bs) + 1 if self.vqa_tasks else 0
+        # upper bounds per component: the multinomial residual hands the
+        # ENTIRE remainder (up to 3 with 4 fractional parts) to one component
+        R = 3
+        n_caption = int(self.args.caption_prop * bs) + R if self.caption_tasks else 0
+        n_vqa = int(self.args.vqa_prop * bs) + R if self.vqa_tasks else 0
         control_prop = 1 - self.args.text_prop - self.args.caption_prop - self.args.vqa_prop
-        n_control = int(control_prop * bs) + 1 if self.control_tasks else 0
+        n_control = int(control_prop * bs) + R if self.control_tasks else 0
 
         budget = 0
         ctrl_patches = [t.required_patches for t in self.control_tasks]
@@ -110,11 +117,12 @@ class Trainer:
         (ops/losses.py::gathered_masked_xent); 0 -> dense loss."""
         bs = self.args.batch_size
         S = self.args.sequence_length
-        n_text = int(self.args.text_prop * bs) + 1 if self.text_tasks else 0
-        n_caption = int(self.args.caption_prop * bs) + 1 if self.caption_tasks else 0
-        n_vqa = int(self.args.vqa_prop * bs) + 1 if self.vqa_tasks else 0
+        R = 3  # remainder can land entirely on one component
+        n_text = int(self.args.text_prop * bs) + R if self.text_tasks else 0
+        n_caption = int(self.args.caption_prop * bs) + R if self.caption_tasks else 0
+        n_vqa = int(self.args.vqa_prop * bs) + R if self.vqa_tasks else 0
         control_prop = 1 - self.args.text_prop - self.args.caption_prop - self.args.vqa_prop
-        n_control = int(control_prop * bs) + 1 if self.control_tasks else 0
+        n_control = int(control_prop * bs) + R if self.control_tasks else 0
 
         budget = n_text * (S - 1)
         if self.control_tasks:
@@ -143,7 +151,11 @@ class Trainer:
         self.start_time = time.time()
         if self.state is None:
             self.init_state()
-        iters = self.args.training_steps // self.args.log_eval_freq
+        # train only the REMAINING steps (exact-resume contract: a run
+        # resumed at step N finishes at training_steps, not N+training_steps)
+        iters = max(
+            0, (self.args.training_steps - self.steps)
+        ) // self.args.log_eval_freq
         try:
             for i in range(iters):
                 logs = self.train_iteration(self.args.log_eval_freq, i)
@@ -227,6 +239,10 @@ class Trainer:
 
     def sample_arrays(self):
         """Sample the task mixture and pack to host numpy arrays."""
+        with self._sample_lock:
+            return self._sample_arrays_locked()
+
+    def _sample_arrays_locked(self):
         sizes = self._mixture_sizes()
         examples: List[Dict] = []
         if sizes["text"] > 0:
@@ -335,7 +351,23 @@ class Trainer:
     # ---------------------------------------------------------- evaluation
     def evaluate(self) -> Dict:
         logs: Dict = {}
-        gen = Generator(self.ctx.model, self.state.params, self.packer)
+        # reuse one Generator so its jitted prefill/decode stay cached
+        # (a fresh instance would recompile every evaluation); hold the
+        # sampling lock: task RNGs / h5 handles are shared with the
+        # prefetch thread
+        if self._generator is None:
+            self._generator = Generator(
+                self.ctx.model, self.state.params, self.packer
+            )
+        self._generator.params = self.state.params
+        gen = self._generator
+        self._sample_lock.acquire()
+        try:
+            return self._evaluate_locked(logs, gen)
+        finally:
+            self._sample_lock.release()
+
+    def _evaluate_locked(self, logs: Dict, gen) -> Dict:
         for task in self.tasks:
             if isinstance(task, ControlTask):
                 if self.args.eval_episodes > 0:

@@ -82,3 +82,43 @@ def test_lora_only_training_freezes_base():
         before["embed_token"]["embedding"], after["embed_token"]["embedding"]
     )
     assert losses[-1] < losses[0]
+
+
+def test_pretrained_import_preserves_lora_params():
+    """convert_transformer_state_dict must merge, not replace, block dicts —
+    a --lora --pretrained_lm run needs lora_a/lora_b to survive the import."""
+    import numpy as np
+
+    from neko_tpu.models.import_gpt2 import convert_transformer_state_dict
+
+    cfg = BASE.replace(lora_r=4)
+    model = NekoModel(cfg)
+    batch = make_batch(cfg)
+    params = model.init({"params": jax.random.key(0)}, batch)["params"]
+    D = cfg.embed_dim
+    sd = {}
+    for i in range(cfg.layers):
+        p = f"h.{i}."
+        sd[p + "ln_1.weight"] = np.ones(D, np.float32)
+        sd[p + "ln_1.bias"] = np.zeros(D, np.float32)
+        sd[p + "ln_2.weight"] = np.ones(D, np.float32)
+        sd[p + "ln_2.bias"] = np.zeros(D, np.float32)
+        sd[p + "attn.c_attn.weight"] = np.zeros((D, 3 * D), np.float32)
+        sd[p + "attn.c_attn.bias"] = np.zeros(3 * D, np.float32)
+        sd[p + "attn.c_proj.weight"] = np.zeros((D, D), np.float32)
+        sd[p + "attn.c_proj.bias"] = np.zeros(D, np.float32)
+        sd[p + "mlp.c_fc.weight"] = np.zeros((D, 4 * D), np.float32)
+        sd[p + "mlp.c_fc.bias"] = np.zeros(4 * D, np.float32)
+        sd[p + "mlp.c_proj.weight"] = np.zeros((4 * D, D), np.float32)
+        sd[p + "mlp.c_proj.bias"] = np.zeros(D, np.float32)
+    sd["ln_f.weight"] = np.ones(D, np.float32)
+    sd["ln_f.bias"] = np.zeros(D, np.float32)
+
+    tr = convert_transformer_state_dict(sd, params["transformer"], cfg.layers)
+    assert "lora_a" in tr["h_0"]["attn"] and "lora_b" in tr["h_0"]["attn"]
+    # imported weights landed
+    assert float(np.asarray(tr["h_0"]["attn"]["c_attn"]["kernel"]).sum()) == 0.0
+    # and the model still applies cleanly with the merged tree
+    new_params = dict(params)
+    new_params["transformer"] = tr
+    model.apply({"params": new_params}, batch)
