@@ -26,6 +26,14 @@ import numpy as np
 REFERENCE_TOKENS_PER_SEC_PER_CHIP = 25_000.0
 
 
+def _configure_jax():
+    import jax
+
+    # hardware PRNG for dropout masks (the framework's production default,
+    # --rng_impl=unsafe_rbg): threefry costs ~12 ms/step at this config
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+
 def build_batch(packer, cfg, batch_size, seed=0):
     rng = np.random.RandomState(seed)
     ts = cfg.token_space
@@ -75,6 +83,7 @@ def build_batch(packer, cfg, batch_size, seed=0):
 
 
 def main():
+    _configure_jax()
     import jax
 
     from neko_tpu.config import ModelConfig

@@ -21,9 +21,12 @@ from neko_tpu.training.train_state import OptimizerConfig, TrainContext
 
 
 def select_platform(args: TrainingArgs) -> None:
-    """Honour --cpu / --device / --multihost (must run before first jax use)."""
+    """Honour --cpu / --device / --rng_impl / --multihost (must run before
+    first jax use)."""
     if args.cpu or args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if getattr(args, "rng_impl", "threefry") != "threefry":
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
     if getattr(args, "multihost", False):
         # multi-host slice: jax.devices() then spans the whole slice and the
         # ('data','model') mesh rides ICI (SURVEY.md §2.2/§5.8)

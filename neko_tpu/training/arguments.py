@@ -130,4 +130,5 @@ class TrainingArgs:
     profile_dir: Optional[str] = field(default=None, metadata={"help": "Capture a jax.profiler trace of a few train steps into this directory (view with tensorboard/xprof)."})
     profile_steps: int = field(default=3, metadata={"help": "Number of steps to trace when --profile_dir is set."})
     multihost: bool = field(default=False, metadata={"help": "Call jax.distributed.initialize() at startup (multi-host TPU slices)."})
+    rng_impl: Literal["threefry", "rbg", "unsafe_rbg"] = field(default="unsafe_rbg", metadata={"help": "JAX PRNG implementation. unsafe_rbg (hardware RNG, the MaxText production default) makes dropout ~12ms/step cheaper at 768d/6L; threefry gives fully reproducible keys."})
     log_jsonl: bool = field(default=True, metadata={"help": "Append metrics to <save_dir>/<exp>/metrics.jsonl."})
