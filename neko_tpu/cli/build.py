@@ -83,6 +83,7 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
                 test_data_prop=args.test_data_prop,
                 tokenizer_model=args.tokenizer_model_name,
                 patch_size=args.patch_size,
+                image_size=args.caption_image_size,
                 context_length=args.sequence_length,
                 seed=args.seed,
             )
@@ -103,6 +104,7 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
                 annotations_file=args.annotations_file,
                 tokenizer_model=args.tokenizer_model_name,
                 patch_size=args.patch_size,
+                image_size=args.vqa_image_size,
                 context_length=args.sequence_length,
                 seed=args.seed,
             )

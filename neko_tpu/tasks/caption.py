@@ -49,6 +49,11 @@ class CaptionTask(Task):
         self.patches_per_image = (image_size // patch_size) ** 2
         # a caption example is ONE timestep [patches | text | SEP]; cap the
         # text so it always fits the context
+        assert self.patches_per_image + 2 <= context_length, (
+            f"a {image_size}x{image_size} image needs "
+            f"{self.patches_per_image} patch tokens but the context is only "
+            f"{context_length}; lower the image size or raise -k"
+        )
         self.max_text_tokens = max(1, context_length - self.patches_per_image - 1)
 
         if train_data and test_data:

@@ -89,6 +89,11 @@ class VqaTask(Task):
         self.text_tokenizer = get_text_tokenizer(tokenizer_model)
         self.image_size = image_size
         self.patches_per_image = (image_size // patch_size) ** 2
+        assert self.patches_per_image + 2 <= context_length, (
+            f"a {image_size}x{image_size} image needs "
+            f"{self.patches_per_image} patch tokens but the context is only "
+            f"{context_length}; lower the image size or raise -k"
+        )
         self.max_text_tokens = max(1, context_length - self.patches_per_image - 1)
         self.train_items = _load_split(
             dataset_dir, train_data, train_img_name_prefix or [],

@@ -99,6 +99,8 @@ class TrainingArgs:
     train_img_file_name_len: List[int] = field(default_factory=list, metadata={"nargs": "+"})
     test_img_name_prefix: List[str] = field(default_factory=list, metadata={"nargs": "+"})
     test_img_file_name_len: List[int] = field(default_factory=list, metadata={"nargs": "+"})
+    caption_image_size: int = field(default=256, metadata={"help": "Square resize for caption images (reference hard-codes 256)."})
+    vqa_image_size: int = field(default=256, metadata={"help": "Square resize for VQA images (reference hard-codes 256)."})
     questions_file: str = field(default="questions.json")
     annotations_file: str = field(default="annotations.json")
     eval_caption_num_examples: int = field(default=100)
