@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Inference walkthrough: load a checkpoint and use every predict API.
+
+The reference ships exploratory notebooks (dev_notebooks/, misc/*.ipynb);
+this is the script equivalent, runnable offline end to end:
+
+    python examples/inference.py                 # trains a tiny model first
+    python examples/inference.py --model_path models/<exp>  # existing ckpt
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", default=None,
+                   help="experiment dir or checkpoint_<N> dir; default: "
+                        "train a tiny model on synthetic data first")
+    p.add_argument("--cpu", action="store_true", default=True)
+    cli = p.parse_args()
+
+    import jax
+
+    if cli.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    model_path = cli.model_path
+    if model_path is None:
+        print("=== training a tiny model on synthetic data (~2 min) ===")
+        from neko_tpu.cli.train import run, validate_args
+        from neko_tpu.training.arguments import TrainingArgs
+
+        args = TrainingArgs(
+            cpu=True,
+            control_datasets=["neko-synth-continuous-v0"],
+            text_prop=0.5,
+            text_datasets=["synthetic"], text_datasets_paths=["synthetic"],
+            embed_dim=64, layers=2, heads=4, batch_size=8,
+            sequence_length=128, training_steps=30, log_eval_freq=30,
+            warmup_steps=5, mixed_precision="no", dropout=0.0,
+            eval_episodes=0, eval_text_num_examples=2,
+            save_model=True, save_dir="/tmp/neko_example",
+        )
+        validate_args(args)
+        trainer = run(args)
+        model_path = trainer.exp_dir
+
+    # ---- load the checkpoint the way eval.py does -------------------------
+    from neko_tpu.cli.build import build_context
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.inference.generator import Generator
+    from neko_tpu.training.arguments import TrainingArgs
+    from neko_tpu.utils.checkpoint import (
+        latest_checkpoint, load_args_dict, load_checkpoint,
+    )
+
+    ckpt = model_path
+    if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith("checkpoint_"):
+        ckpt = latest_checkpoint(ckpt)
+    exp_dir = os.path.dirname(ckpt)
+    saved = load_args_dict(exp_dir)
+    known = {f for f in TrainingArgs.__dataclass_fields__}
+    args = TrainingArgs(**{k: v for k, v in saved.items() if k in known})
+    args.cpu = True
+    ctx, tasks = build_context(args)
+
+    packer = SequencePacker(ctx.model_cfg)
+    arrays = packer.pack_batch([{"text": [0]}])
+    arrays.pop("lengths")
+    state = ctx.init_state(to_device_batch(arrays))
+    state = load_checkpoint(ckpt, jax.tree.map(lambda x: x, state))
+    gen = Generator(ctx.model, state.params, packer)
+    ts = ctx.model_cfg.token_space
+    print(f"loaded {ckpt} (step {int(state.step)})")
+
+    # ---- 1. text continuation --------------------------------------------
+    prompt = [12, 42, 7]
+    logits, tokens = gen.predict_text({"text": prompt}, max_length=8)
+    print(f"predict_text({prompt}) -> {list(tokens)}")
+
+    # ---- 2. control action (continuous) ----------------------------------
+    obs = np.random.RandomState(0).randn(3, 8).astype(np.float32)
+    act = np.zeros((3, 2), np.float32)
+    action = gen.predict_control(
+        {"continuous_obs": obs, "continuous_actions": act},
+        action_kind="continuous", action_tokens=2,
+    )
+    print(f"predict_control(continuous) -> {action}")
+
+    # ---- 3. batched generation -------------------------------------------
+    toks, _ = gen.generate_batch(
+        [{"text": [1, 2]}, {"text": [3, 4, 5]}],
+        max_new_tokens=4, start=ts.start("text"), end=ts.end("text"),
+    )
+    print(f"generate_batch -> {toks.tolist()}")
+
+    # ---- 4. live env rollout ----------------------------------------------
+    from neko_tpu.envs.setup_env import load_env_dataset
+    from neko_tpu.tasks.control import ControlTask
+
+    env, ds = load_env_dataset("neko-synth-continuous-v0", {"horizon": 8})
+    task = ControlTask("demo", env, ds, context_len=args.sequence_length, seed=0)
+    metrics = task.evaluate(gen, n_iterations=2, parallel_episodes=2)
+    print(f"rollout metrics -> {metrics}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
