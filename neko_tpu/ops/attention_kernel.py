@@ -16,7 +16,7 @@ pad_end` per batch row, passed as two scalar-prefetch vectors instead of the
 
 Measured on v5e (B=16, H=24, S=1024, hd=32, bf16) vs the bundled
 jax.experimental flash kernel with tuned 512-blocks:
-fwd+bwd 13.1 ms -> ~4 ms per layer.
+fwd+bwd 13.1 ms -> 6.5 ms per layer.
 
 Falls back to the generic flash path when S*S*4 would overflow VMEM
 (S > 2048) — see neko_tpu/ops/attention.py for dispatch.

@@ -193,7 +193,12 @@ class Trainer:
         sample_time = step_logs.get("time/sample_batch", 0.0)
         losses = [float(l) for l in losses]  # blocks on the last device value
         logs.update(step_logs)
-        logs["time/training"] = time.time() - train_start
+        train_time = time.time() - train_start
+        logs["time/training"] = train_time
+        logs["training/tokens_per_sec"] = (
+            num_steps * self.args.batch_size * self.args.sequence_length
+            / max(train_time, 1e-9)
+        )
 
         eval_start = time.time()
         logs.update(self.evaluate())
