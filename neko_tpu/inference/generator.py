@@ -300,6 +300,35 @@ class Generator:
             offset=ts.continuous_start,
         )
 
+    def predict_response(
+        self,
+        image: np.ndarray,           # [1, H, W, 3] raw 0..255
+        prompt_tokens: Sequence[int] = (),
+        max_length: int = 128,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ):
+        """Text response conditioned on an image (reference predict_response,
+        gato_policy.py:477-544): caption when prompt_tokens is empty, answer
+        when it holds a question's BPE ids.  Returns (window_logits, ids)."""
+        ts = self.cfg.token_space
+        tokens, logits = self.generate(
+            {"images": np.asarray(image), "text": list(prompt_tokens)},
+            max_new_tokens=max_length,
+            start=ts.start("text"),
+            end=ts.end("text"),
+            deterministic=deterministic,
+            drop_trailing=1,  # trailing SEP is causally invisible
+            rng=rng,
+        )
+        return logits, tokens - ts.start("text")
+
+    def predict_caption(self, image, max_length: int = 128, **kw):
+        return self.predict_response(image, (), max_length, **kw)
+
+    def predict_answer(self, image, question_tokens, max_length: int = 16, **kw):
+        return self.predict_response(image, question_tokens, max_length, **kw)
+
     def predict_control_batch(
         self,
         examples: Sequence[Dict],

@@ -163,3 +163,14 @@ def test_vqa_task(tmp_path):
     gen = make_generator()
     m = task.evaluate(gen, num_examples_to_test=2)
     assert np.isfinite(m["loss"])
+
+
+def test_generator_predict_caption_and_answer(tmp_path):
+    """Reference-API conveniences on the Generator."""
+    gen = make_generator()
+    img = np.random.RandomState(0).randint(0, 255, (1, IMG_SIZE, IMG_SIZE, 3)).astype(np.float32)
+    logits, ids = gen.predict_caption(img, max_length=4)
+    assert logits.shape[0] == 4 and len(ids) == 4
+    logits, ids = gen.predict_answer(img, [5, 6, 7], max_length=3)
+    assert logits.shape[0] == 3
+    assert (np.asarray(ids) < CFG.text_tokens).all()
