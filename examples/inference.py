@@ -20,7 +20,8 @@ def main():
     p.add_argument("--model_path", default=None,
                    help="experiment dir or checkpoint_<N> dir; default: "
                         "train a tiny model on synthetic data first")
-    p.add_argument("--cpu", action="store_true", default=True)
+    p.add_argument("--cpu", action=argparse.BooleanOptionalAction, default=True,
+                   help="run on CPU (--no-cpu uses the default accelerator)")
     cli = p.parse_args()
 
     import jax
@@ -62,6 +63,7 @@ def main():
     ckpt = model_path
     if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith("checkpoint_"):
         ckpt = latest_checkpoint(ckpt)
+        assert ckpt, f"no checkpoint_* under {model_path}"
     exp_dir = os.path.dirname(ckpt)
     saved = load_args_dict(exp_dir)
     known = {f for f in TrainingArgs.__dataclass_fields__}

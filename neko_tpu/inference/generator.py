@@ -12,8 +12,10 @@ Semantics preserved:
 * logits restricted to the modality's legal token range before
   argmax/sampling, with discrete control further restricted to the env's
   action count (gato_policy.py:570-576,589)
-* generated tokens are appended as plain token embeddings — no inner-position
-  encoding (gato_policy.py:462-465)
+* predict_text/predict_control append generated tokens as plain embeddings —
+  no inner positions (gato_policy.py:462-465) — while predict_response embeds
+  them WITH continuing inner positions, matching the reference's per-token
+  re-pack of the text stream (gato_policy.py:503-510)
 * deterministic=argmax, stochastic=softmax sampling (gato_policy.py:453-458)
 * continuous actions decoded via the uniform-bin inverse
   (gato_policy.py:608-613)
@@ -53,6 +55,7 @@ class Generator:
         self._prefill = jax.jit(self._prefill_impl)
         self._decode = jax.jit(self._decode_impl)
         self._embed_tokens = jax.jit(self._embed_tokens_impl)
+        self._embed_tokens_pos = jax.jit(self._embed_tokens_pos_impl)
         self._select = jax.jit(
             self._select_impl, static_argnames=("start", "end", "deterministic")
         )
@@ -86,6 +89,12 @@ class Generator:
             {"params": params}, tokens, method=NekoModel.embed_tokens
         )
 
+    def _embed_tokens_pos_impl(self, params, tokens, pos):
+        return self.model.apply(
+            {"params": params}, tokens, pos,
+            method=NekoModel.embed_tokens_with_pos,
+        )
+
     def _select_impl(self, logits, key, *, start, end, deterministic):
         """Restrict logits to [start, end] inclusive and pick a token id."""
         window = logits[start : end + 1]
@@ -102,9 +111,10 @@ class Generator:
         gato_policy.py:580-581)."""
         arrays = self.packer.pack_batch([example], pad_side="right")
         L = int(arrays.pop("lengths")[0]) - drop_trailing
+        next_pos = int(arrays["inner_pos"][0, :max(L, 1)].max()) + 1
         batch = to_device_batch(arrays)
         emb = self._embed_batch(self.params, batch)
-        return emb, L
+        return emb, L, next_pos
 
     def generate(
         self,
@@ -118,15 +128,20 @@ class Generator:
         rng: Optional[jax.Array] = None,
         prompt_emb: Optional[jnp.ndarray] = None,
         prompt_len: Optional[int] = None,
+        inner_pos_continuation: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Generate tokens restricted to [start, end].
 
         Returns (token_ids [n], window_logits [n, end-start+1]).  Either pass
         `example` (packed here) or a precomputed (prompt_emb, prompt_len).
+        inner_pos_continuation=True embeds generated tokens WITH continuing
+        inner-timestep positions (predict_response semantics); False appends
+        raw embeddings (predict_text/predict_control semantics).
         """
         S = self.cfg.context_len
+        next_pos = 0
         if prompt_emb is None:
-            emb, L = self._pack_prompt(example, drop_trailing)
+            emb, L, next_pos = self._pack_prompt(example, drop_trailing)
         else:
             emb, L = prompt_emb, int(prompt_len)
         if rng is None:
@@ -150,9 +165,16 @@ class Generator:
             out_logits.append(np.asarray(window))
             if i == max_new_tokens - 1:
                 break
-            tok_emb = self._embed_tokens(
-                self.params, jnp.asarray([[out_tokens[-1]]], jnp.int32)
-            )
+            if inner_pos_continuation:
+                tok_emb = self._embed_tokens_pos(
+                    self.params,
+                    jnp.asarray([[out_tokens[-1]]], jnp.int32),
+                    jnp.asarray([[next_pos + i]], jnp.int32),
+                )
+            else:
+                tok_emb = self._embed_tokens(
+                    self.params, jnp.asarray([[out_tokens[-1]]], jnp.int32)
+                )
             if pos >= S:
                 # slide the window: re-prefill on the last S-1 embeddings
                 emb = jnp.concatenate([emb[:, 1:], tok_emb], axis=1)
@@ -183,6 +205,7 @@ class Generator:
         deterministic: bool = True,
         drop_trailing: int = 0,
         rng: Optional[jax.Array] = None,
+        inner_pos_continuation: bool = False,
     ):
         """Generate for a batch of prompts in lockstep (right-padded prompts,
         per-row decode positions).  Returns (tokens [N, T], window_logits
@@ -197,6 +220,7 @@ class Generator:
         N = len(examples)
         arrays = self.packer.pack_batch(examples, pad_side="right")
         lengths = arrays.pop("lengths") - drop_trailing
+        next_pos = arrays["inner_pos"].max(axis=1) + 1  # [N]
         if int(lengths.max()) + max_new_tokens > S:
             raise ValueError(
                 f"batched generation would overflow the context "
@@ -228,7 +252,13 @@ class Generator:
             out_logits[:, t] = np.asarray(window)
             if t == max_new_tokens - 1:
                 break
-            tok_emb = self._embed_tokens(self.params, toks[:, None])
+            if inner_pos_continuation:
+                tok_emb = self._embed_tokens_pos(
+                    self.params, toks[:, None],
+                    jnp.asarray(next_pos + t, jnp.int32)[:, None],
+                )
+            else:
+                tok_emb = self._embed_tokens(self.params, toks[:, None])
             step_logits, cache = self._decode(self.params, cache, tok_emb, pos)
             last_logits = step_logits[:, 0]
             pos = pos + 1
@@ -320,6 +350,7 @@ class Generator:
             deterministic=deterministic,
             drop_trailing=1,  # trailing SEP is causally invisible
             rng=rng,
+            inner_pos_continuation=True,
         )
         return logits, tokens - ts.start("text")
 

@@ -215,6 +215,23 @@ class NekoModel(nn.Module):
         """Plain token-id embedding (decode loop helper)."""
         return self.embed_token(tokens).astype(self.cfg.activation_dtype)
 
+    def embed_tokens_with_pos(
+        self, tokens: jnp.ndarray, pos: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Token embedding + inner-timestep position (decode loop helper).
+
+        predict_response-style generation re-packs generated text as
+        observation tokens, which carry inner positions (the reference
+        rebuilds the whole stream per token, gato_policy.py:503-510 ->
+        tokenize_input_dicts:381-385); predict_text does NOT (it appends raw
+        embeddings, gato_policy.py:462-465)."""
+        e = self.embed_token(tokens).astype(self.cfg.activation_dtype)
+        if self.cfg.use_pos_encoding:
+            idx = jnp.clip(pos, 0, self.cfg.context_len - 1)
+            pe = self.pos_embed_observation(idx).astype(self.cfg.activation_dtype)
+            e = e + jnp.where((pos >= 0)[..., None], pe, 0.0)
+        return e
+
     def embed_images(self, patches, patch_pos, *, deterministic: bool = True):
         """Standalone patch embedding (caption/VQA eval caches this once,
         mirroring gato_policy.py:489,503-506)."""

@@ -100,7 +100,7 @@ def _active_mesh():
 
 def _kernel_local(q, k, v, key_mask, sm_scale):
     """Pick the authored whole-head kernel when the workload fits (small
-    heads, S <= 1024 — 2.2x faster than the generic flash kernel there),
+    heads, S <= 1024 — 2x faster than the generic flash kernel there),
     else the generic flash kernel."""
     from neko_tpu.ops import attention_kernel as whk
 

@@ -91,7 +91,25 @@ def ring_attention(
         v,
         idx,
     )
-    (m, l, acc, _, _, _), _ = jax.lax.scan(step, init, None, length=n)
+    # n-1 rotate-and-accumulate steps, then one final accumulate without the
+    # trailing ppermute (whose result would be discarded)
+    carry, _ = jax.lax.scan(step, init, None, length=n - 1)
+    m, l, acc, k_blk, v_blk, src = carry
+    k_pos = src * S_local + jnp.arange(S_local)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q32, k_blk.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    allowed = q_pos[:, None] >= k_pos[None, :]
+    s = jnp.where(allowed[None, None], s, _NEG)
+    m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m - m_new)
+    l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc * corr + jnp.einsum(
+        "bhqk,bhkd->bhqd", p, v_blk.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
     out = acc / jnp.maximum(l, 1e-30)
     return out.astype(q.dtype)
 

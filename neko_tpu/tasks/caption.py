@@ -46,6 +46,10 @@ class CaptionTask(Task):
         self.rng = np.random.RandomState(seed)
         self.text_tokenizer = get_text_tokenizer(tokenizer_model)
         self.image_size = image_size
+        assert image_size % patch_size == 0, (
+            f"image_size={image_size} must be a multiple of "
+            f"patch_size={patch_size}"
+        )
         self.patches_per_image = (image_size // patch_size) ** 2
         # a caption example is ONE timestep [patches | text | SEP]; cap the
         # text so it always fits the context
@@ -140,6 +144,7 @@ class CaptionTask(Task):
                 end=ts.end("text"),
                 deterministic=deterministic,
                 drop_trailing=1,
+                inner_pos_continuation=True,
             )
             for i, (sample, target) in enumerate(group):
                 lg = logits[i, : len(target)].astype(np.float64)

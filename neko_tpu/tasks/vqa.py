@@ -88,6 +88,10 @@ class VqaTask(Task):
         self.rng = np.random.RandomState(seed)
         self.text_tokenizer = get_text_tokenizer(tokenizer_model)
         self.image_size = image_size
+        assert image_size % patch_size == 0, (
+            f"image_size={image_size} must be a multiple of "
+            f"patch_size={patch_size}"
+        )
         self.patches_per_image = (image_size // patch_size) ** 2
         assert self.patches_per_image + 2 <= context_length, (
             f"a {image_size}x{image_size} image needs "
@@ -165,7 +169,8 @@ class VqaTask(Task):
                 start=ts.start("text"),
                 end=ts.end("text"),
                 deterministic=deterministic,
-                drop_trailing=1,  # SEP is causally invisible to the read pos
+                drop_trailing=1,
+                inner_pos_continuation=True,  # SEP is causally invisible to the read pos
             )
             for i, (item, answer, _, target) in enumerate(group):
                 lg = logits[i, : len(target)].astype(np.float64)

@@ -32,7 +32,11 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
-    rng: jnp.ndarray
+    # plain uint32 seed, NOT a typed PRNG key: checkpoints stay loadable
+    # across PRNG implementations (threefry keys are uint32[2], rbg uint32[4]
+    # — a typed key baked into the state would tie the checkpoint to the
+    # --rng_impl it was saved under). Per-step keys derive from (seed, step).
+    seed: jnp.ndarray
 
 
 @dataclasses.dataclass
@@ -130,7 +134,7 @@ class TrainContext:
                 step=jnp.zeros((), jnp.int32),
                 params=params,
                 opt_state=opt_state,
-                rng=jax.random.key(self.seed + 1),
+                seed=jnp.uint32(self.seed + 1),
             )
 
         # Evaluate shapes first so we can jit-init directly into the sharded
@@ -169,10 +173,10 @@ class TrainContext:
         model, tx = self.model, self.tx
 
         def step_fn(state: TrainState, batch: PackedBatch):
-            rng, new_rng = jax.random.split(state.rng)
-            dropout_rng, patch_rng = jax.random.split(
-                jax.random.fold_in(rng, state.step), 2
+            step_key = jax.random.fold_in(
+                jax.random.key(state.seed), state.step
             )
+            dropout_rng, patch_rng = jax.random.split(step_key, 2)
 
             def loss_fn(params):
                 _, loss = model.apply(
@@ -191,7 +195,7 @@ class TrainContext:
                 step=state.step + 1,
                 params=new_params,
                 opt_state=new_opt,
-                rng=new_rng,
+                seed=state.seed,
             )
             return new_state, loss
 

@@ -27,6 +27,12 @@ D, L, H, S = 64, 2, 2, 128
 class _StubTokenizer:
     vocab_size = 50257
 
+    def decode(self, ids):
+        return " ".join(str(int(i)) for i in ids)
+
+    def encode(self, text):
+        return [int(t) for t in text.split()]
+
 
 def _load_reference_policy():
     import transformers.modeling_utils as mu

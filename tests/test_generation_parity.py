@@ -127,3 +127,24 @@ def test_predict_discrete_control_parity(pair):
         num_actions=5,
     )
     assert int(ours) == ref_action
+
+
+def test_predict_response_greedy_parity(pair):
+    """Caption/VQA generation: the reference re-packs generated tokens as
+    text observations (inner positions continue), gato_policy.py:503-510."""
+    ref, gen = pair
+    rng = np.random.RandomState(3)
+    img_hwc = rng.randint(0, 255, (1, 32, 32, 3)).astype(np.float32)
+    prompt = [7, 8]
+    # predict_response returns (logits, decoded-string); compare via logits
+    with torch.no_grad():
+        ref_logits, _ = ref.predict_response(
+            torch.tensor(img_hwc.transpose(0, 3, 1, 2)),
+            prompt_tokens=list(prompt),
+            max_length=6,
+            deterministic=True,
+        )
+    ref_ids = ref_logits.argmax(-1).numpy()
+    logits, ids = gen.predict_answer(img_hwc, prompt, max_length=6)
+    np.testing.assert_array_equal(np.asarray(ids), ref_ids)
+    np.testing.assert_allclose(logits, ref_logits.numpy(), atol=3e-4, rtol=1e-3)
