@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Secondary benchmark: autoregressive decode latency/throughput.
+
+(The driver's headline metric is bench.py; this measures the serving path.)
+Flagship config, batch 8, prompt 512 tokens, 64 generated tokens:
+prints prefill latency, per-token decode latency, and decode tokens/sec.
+For scale: the reference re-runs the FULL context per generated token with
+no KV cache (gato_policy.py:444-445), i.e. its per-token cost equals our
+prefill cost.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+    from neko_tpu.config import ModelConfig
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.inference.generator import Generator
+    from neko_tpu.models.policy import NekoModel
+    from neko_tpu.data.batch import to_device_batch
+
+    cfg = ModelConfig(
+        embed_dim=768, layers=6, heads=24, dropout=0.0,
+        context_len=1024, max_patches=0, dtype="bfloat16",
+    )
+    model = NekoModel(cfg)
+    packer = SequencePacker(cfg)
+    rng = np.random.RandomState(0)
+    B, P_LEN, GEN = 8, 512, 64
+    examples = [
+        {"text": list(rng.randint(1, cfg.text_tokens, size=P_LEN))}
+        for _ in range(B)
+    ]
+    arrays = packer.pack_batch(examples)
+    arrays.pop("lengths")
+    params = model.init({"params": jax.random.key(0)}, to_device_batch(arrays))[
+        "params"
+    ]
+    gen = Generator(model, params, packer)
+    ts = cfg.token_space
+
+    def run():
+        return gen.generate_batch(
+            examples, max_new_tokens=GEN,
+            start=ts.start("text"), end=ts.end("text"),
+            return_logits=False,  # serving path: only token ids leave the chip
+        )
+
+    def run1():
+        return gen.generate_batch(
+            examples, max_new_tokens=1,
+            start=ts.start("text"), end=ts.end("text"),
+            return_logits=False,
+        )
+
+    run()   # compile full scan
+    run1()  # compile 1-token variant
+    n_runs = 3
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        (toks,) = run()
+    dt = (time.perf_counter() - t0) / n_runs
+
+    t0 = time.perf_counter()
+    for _ in range(n_runs):
+        run1()
+    prefill = (time.perf_counter() - t0) / n_runs
+
+    per_token_ms = (dt - prefill) / (GEN - 1) * 1000
+    print(
+        json.dumps(
+            {
+                "metric": "batched_decode",
+                "batch": B,
+                "prompt_len": P_LEN,
+                "prefill_ms": round(prefill * 1000, 1),
+                "per_token_ms": round(per_token_ms, 2),
+                "decode_tokens_per_sec": round(B * 1000 / per_token_ms),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,13 @@ class Generator:
             self._select_batch_impl,
             static_argnames=("start", "end", "deterministic"),
         )
+        self._decode_scan = jax.jit(
+            self._decode_scan_impl,
+            static_argnames=(
+                "n_steps", "start", "end", "deterministic", "with_pos",
+                "return_logits",
+            ),
+        )
 
     # ------------------------------------------------------------ jit impls
     def _embed_batch_impl(self, params, batch):
@@ -142,6 +149,20 @@ class Generator:
         next_pos = 0
         if prompt_emb is None:
             emb, L, next_pos = self._pack_prompt(example, drop_trailing)
+            if L + max_new_tokens <= S:
+                # common case: one prefill + ONE compiled decode scan (per-
+                # token host dispatch costs ~100 ms through a tunneled TPU)
+                toks, windows = self.generate_batch(
+                    [example],
+                    max_new_tokens=max_new_tokens,
+                    start=start,
+                    end=end,
+                    deterministic=deterministic,
+                    drop_trailing=drop_trailing,
+                    rng=rng,
+                    inner_pos_continuation=inner_pos_continuation,
+                )
+                return toks[0], windows[0]
         else:
             emb, L = prompt_emb, int(prompt_len)
         if rng is None:
@@ -206,6 +227,8 @@ class Generator:
         drop_trailing: int = 0,
         rng: Optional[jax.Array] = None,
         inner_pos_continuation: bool = False,
+        targets: Optional[np.ndarray] = None,
+        return_logits: bool = True,
     ):
         """Generate for a batch of prompts in lockstep (right-padded prompts,
         per-row decode positions).  Returns (tokens [N, T], window_logits
@@ -240,29 +263,74 @@ class Generator:
         rows = jnp.arange(N)
         last_logits = logits[rows, pos - 1]  # [N, V]
 
-        out_tokens = np.zeros((N, max_new_tokens), np.int64)
-        out_logits = np.zeros((N, max_new_tokens, end - start + 1), np.float32)
-        for t in range(max_new_tokens):
-            rng, key = jax.random.split(rng)
-            toks, window = self._select_batch(
-                last_logits, key, start=start, end=end,
-                deterministic=deterministic,
-            )
-            out_tokens[:, t] = np.asarray(toks)
-            out_logits[:, t] = np.asarray(window)
-            if t == max_new_tokens - 1:
-                break
-            if inner_pos_continuation:
-                tok_emb = self._embed_tokens_pos(
-                    self.params, toks[:, None],
-                    jnp.asarray(next_pos + t, jnp.int32)[:, None],
+        ys = self._decode_scan(
+            self.params, cache, last_logits, pos,
+            jnp.asarray(next_pos, jnp.int32), rng,
+            None if targets is None else jnp.asarray(targets, jnp.int32),
+            n_steps=max_new_tokens, start=start, end=end,
+            deterministic=deterministic, with_pos=inner_pos_continuation,
+            return_logits=return_logits,
+        )
+        out = [np.asarray(ys[0], np.int64)]
+        for y in ys[1:]:
+            out.append(np.asarray(y, np.float32))
+        # (tokens[, window_logits][, per_token_nll])
+        return tuple(out) if len(out) > 2 else (out[0], out[1]) if len(out) == 2 else (out[0],)
+
+    def _decode_scan_impl(
+        self, params, cache, last_logits, pos, next_pos, key, targets,
+        *, n_steps, start, end, deterministic, with_pos, return_logits,
+    ):
+        """Fully-device decode loop: one compiled scan generates n_steps
+        tokens without any host round-trip (per-token host syncs through the
+        dispatch path measured ~100 ms each on a tunneled TPU).
+
+        Outputs per step: the sampled token, plus either the restricted
+        window logits (return_logits=True — a [N, T, W] fp32 fetch that can
+        dominate wall time over slow links) or, when `targets` [N, T] is
+        given, the per-position CE of the target under the restricted window
+        — computed on device so only [N, T] floats ever leave the chip."""
+
+        def body(carry, x):
+            cache, last_logits, pos, next_pos, key = carry
+            key, sub = jax.random.split(key)
+            window = last_logits[:, start : end + 1]
+            if deterministic:
+                tok = jnp.argmax(window, axis=-1)
+            else:
+                tok = jax.random.categorical(sub, window, axis=-1)
+            tok = (tok + start).astype(jnp.int32)
+            ys = [tok]
+            if return_logits:
+                ys.append(window)
+            if x is not None:
+                logz = jax.nn.logsumexp(window, axis=-1)
+                tl = jnp.take_along_axis(window, x[:, None], axis=-1)[:, 0]
+                ys.append(logz - tl)
+            if with_pos:
+                emb = self.model.apply(
+                    {"params": params}, tok[:, None], next_pos[:, None],
+                    method=NekoModel.embed_tokens_with_pos,
                 )
             else:
-                tok_emb = self._embed_tokens(self.params, toks[:, None])
-            step_logits, cache = self._decode(self.params, cache, tok_emb, pos)
-            last_logits = step_logits[:, 0]
-            pos = pos + 1
-        return out_tokens, out_logits
+                emb = self.model.apply(
+                    {"params": params}, tok[:, None],
+                    method=NekoModel.embed_tokens,
+                )
+            logits, vars_ = self.model.apply(
+                {"params": params, "cache": cache}, emb, pos,
+                method=NekoModel.decode_step, mutable=["cache"],
+            )
+            new_carry = (
+                vars_["cache"], logits[:, 0], pos + 1, next_pos + 1, key
+            )
+            return new_carry, tuple(ys)
+
+        xs = None if targets is None else jnp.swapaxes(targets, 0, 1)
+        carry = (cache, last_logits, pos, next_pos, key)
+        _, ys = jax.lax.scan(body, carry, xs, length=n_steps)
+        # scan stacks on the leading axis -> move N first
+        return tuple(jnp.swapaxes(y, 0, 1) for y in ys)
 
     def _select_batch_impl(self, logits, key, *, start, end, deterministic):
         window = logits[:, start : end + 1]

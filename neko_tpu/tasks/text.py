@@ -136,30 +136,40 @@ class TextTask(Task):
                 ]
                 per_example = [(lg, pr) for lg, pr in results]
             else:
-                toks, logits = generator.generate_batch(
+                # per-target CE computed ON DEVICE (window logits are
+                # [N, T, 50257] fp32 — fetching them dominates wall time
+                # over slow host links); targets are ids WITHIN the window
+                tgt_mat = np.zeros((len(group), max_new), np.int32)
+                for i, (_, tgt) in enumerate(group):
+                    tgt_mat[i, : len(tgt)] = tgt
+                toks, nlls = generator.generate_batch(
                     [{"text": inp} for inp, _ in group],
                     max_new_tokens=max_new,
                     start=ts.start("text"),
                     end=ts.end("text"),
                     deterministic=deterministic,
+                    targets=tgt_mat,
+                    return_logits=False,
                 )
                 per_example = [
-                    (logits[i, : len(group[i][1])],
+                    (nlls[i, : len(group[i][1])],
                      toks[i, : len(group[i][1])] - ts.start("text"))
                     for i in range(len(group))
                 ]
-            for (inp, tgt), (lg, pred) in zip(group, per_example):
+            for (inp, tgt), (nll_or_lg, pred) in zip(group, per_example):
                 if log_examples_to_output and tested % 50 == 0:
                     print(
                         f"input: {self.text_tokenizer.decode(inp)!r} | "
                         f"pred: {self.text_tokenizer.decode(list(pred))!r}"
                     )
                 # CE of generated-token logits vs target (text_task.py:98-102)
-                lg = lg.astype(np.float64)
-                m = lg.max(-1, keepdims=True)
-                logz = np.log(np.exp(lg - m).sum(-1)) + m[:, 0]
-                tgt_arr = np.asarray(tgt)
-                nll = logz - lg[np.arange(len(tgt_arr)), tgt_arr]
+                nll = np.asarray(nll_or_lg, np.float64)
+                if nll.ndim == 2:  # serial fallback returned window logits
+                    lg = nll
+                    m = lg.max(-1, keepdims=True)
+                    logz = np.log(np.exp(lg - m).sum(-1)) + m[:, 0]
+                    tgt_arr = np.asarray(tgt)
+                    nll = logz - lg[np.arange(len(tgt_arr)), tgt_arr]
                 total_loss += float(nll.mean())
                 tested += 1
 

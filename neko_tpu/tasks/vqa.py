@@ -162,29 +162,29 @@ class VqaTask(Task):
         for g in range(0, len(items), GROUP):
             group = items[g : g + GROUP]
             max_new = max(len(t) for _, _, _, t in group)
-            toks, logits = generator.generate_batch(
+            tgt_mat = np.zeros((len(group), max_new), np.int32)
+            for i, (_, _, _, t) in enumerate(group):
+                tgt_mat[i, : len(t)] = t
+            toks, nlls = generator.generate_batch(
                 [{"images": self._image(it)[None], "text": pr}
                  for it, _, pr, _ in group],
                 max_new_tokens=max_new,
                 start=ts.start("text"),
                 end=ts.end("text"),
                 deterministic=deterministic,
-                drop_trailing=1,
-                inner_pos_continuation=True,  # SEP is causally invisible to the read pos
+                drop_trailing=1,  # SEP is causally invisible to the read pos
+                inner_pos_continuation=True,
+                targets=tgt_mat,       # per-target CE computed on device
+                return_logits=False,
             )
             for i, (item, answer, _, target) in enumerate(group):
-                lg = logits[i, : len(target)].astype(np.float64)
                 if log_examples_to_output and tested % 50 == 0:
                     pred = toks[i, : len(target)] - ts.start("text")
                     print(
                         f"Q: {item['question']!r} A: {answer!r} | "
                         f"pred: {self.text_tokenizer.decode(list(pred))!r}"
                     )
-                m = lg.max(-1, keepdims=True)
-                logz = np.log(np.exp(lg - m).sum(-1)) + m[:, 0]
-                tgt = np.asarray(target)
-                nll = logz - lg[np.arange(len(tgt)), tgt]
-                total_loss += float(nll.mean())
+                total_loss += float(nlls[i, : len(target)].mean())
                 tested += 1
         avg = total_loss / max(tested, 1)
         return {"loss": avg, "perplexity": float(np.exp(avg))}
