@@ -250,3 +250,20 @@ def test_control_image_rollout_with_prompt():
     assert m["mean_episode_len"] == 4
     m2 = task.evaluate(gen, n_iterations=2, parallel_episodes=2)
     assert m2["mean_episode_len"] == 4
+
+
+def test_generate_batch_device_nll_matches_logits():
+    """The on-device per-target CE equals CE recomputed from window logits."""
+    gen = make_generator()
+    ts = CFG.token_space
+    examples = [{"text": [1, 2, 3]}, {"text": [9, 8, 7]}]
+    targets = np.array([[4, 5, 6], [1, 2, 3]], np.int32)
+    toks, logits, nll = gen.generate_batch(
+        examples, max_new_tokens=3, start=0, end=ts.end("text"),
+        targets=targets, return_logits=True,
+    )
+    lg = logits.astype(np.float64)
+    m = lg.max(-1, keepdims=True)
+    logz = np.log(np.exp(lg - m).sum(-1)) + m[..., 0]
+    ref = logz - np.take_along_axis(lg, targets[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(nll, ref, atol=1e-4)
