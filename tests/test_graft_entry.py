@@ -1,7 +1,28 @@
 """Guard the driver contract: the multichip dry run must always compile and
-execute on the virtual device mesh (the driver invokes it the same way)."""
+execute — INCLUDING in the driver's own environment, which is a fresh process
+with no conftest and only one real device visible.  Round 1 failed exactly
+here (MULTICHIP_r01.json rc=1): the in-process tests passed because conftest
+pre-provisioned 8 virtual CPU devices, while the driver process had 1 TPU.
+The subprocess tests below invoke __graft_entry__ with a minimal environment
+so CI guards the environment the driver actually runs in."""
+
+import os
+import subprocess
+import sys
 
 import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    env = dict(os.environ)
+    # Strip everything conftest / the harness may have injected so the
+    # subprocess looks like the driver's fresh process (1 default device).
+    for k in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME"):
+        env.pop(k, None)
+    env["PYTHONPATH"] = REPO
+    return env
 
 
 def test_dryrun_multichip():
@@ -14,3 +35,43 @@ def test_dryrun_single_device():
     import __graft_entry__ as g
 
     g.dryrun_multichip(1)
+
+
+def test_dryrun_multichip_fresh_process():
+    """The exact driver invocation: fresh interpreter, no XLA_FLAGS, 8 devices
+    requested — dryrun_multichip must self-provision the virtual CPU mesh."""
+    code = "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "dryrun_multichip ok" in r.stdout
+
+
+def test_dryrun_multichip_after_init_errors_clearly():
+    """If jax backends are already initialized with too few devices the
+    failure must be an actionable RuntimeError, not a mesh assert."""
+    code = (
+        "import jax; jax.devices();\n"
+        "import __graft_entry__ as g\n"
+        "try:\n"
+        "    g.dryrun_multichip(8)\n"
+        "except RuntimeError as e:\n"
+        "    assert 'fresh process' in str(e), str(e)\n"
+        "    print('GUARD_OK')\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "GUARD_OK" in r.stdout
