@@ -204,6 +204,11 @@ def build_context(
     max_patches = derive_max_patches(args, tasks)
     model_cfg = model_config_from_args(args, max_patches)
     opt_cfg = optimizer_config_from_args(args)
-    mesh = create_mesh(model=args.mesh_model_axis)
+    if args.mesh_seq_axis > 1:
+        assert args.sequence_length % args.mesh_seq_axis == 0, (
+            f"context len {args.sequence_length} must divide evenly over "
+            f"mesh_seq_axis={args.mesh_seq_axis} sequence shards"
+        )
+    mesh = create_mesh(model=args.mesh_model_axis, seq=args.mesh_seq_axis)
     ctx = TrainContext(model_cfg, opt_cfg, mesh, seed=args.seed)
     return ctx, tasks

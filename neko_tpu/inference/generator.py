@@ -67,8 +67,16 @@ class Generator:
             self._decode_scan_impl,
             static_argnames=(
                 "n_steps", "start", "end", "deterministic", "with_pos",
-                "return_logits",
+                "return_logits", "return_cache",
             ),
+        )
+        self._rollout_step = jax.jit(
+            self._rollout_step_impl,
+            static_argnames=(
+                "obs_sep_tokens", "action_tokens", "clear_len", "buffer_len",
+                "sel_start", "sel_end", "deterministic",
+            ),
+            donate_argnames=("cache",),
         )
 
     # ------------------------------------------------------------ jit impls
@@ -280,6 +288,7 @@ class Generator:
     def _decode_scan_impl(
         self, params, cache, last_logits, pos, next_pos, key, targets,
         *, n_steps, start, end, deterministic, with_pos, return_logits,
+        return_cache=False,
     ):
         """Fully-device decode loop: one compiled scan generates n_steps
         tokens without any host round-trip (per-token host syncs through the
@@ -328,9 +337,51 @@ class Generator:
 
         xs = None if targets is None else jnp.swapaxes(targets, 0, 1)
         carry = (cache, last_logits, pos, next_pos, key)
-        _, ys = jax.lax.scan(body, carry, xs, length=n_steps)
+        carry, ys = jax.lax.scan(body, carry, xs, length=n_steps)
         # scan stacks on the leading axis -> move N first
-        return tuple(jnp.swapaxes(y, 0, 1) for y in ys)
+        out = tuple(jnp.swapaxes(y, 0, 1) for y in ys)
+        if return_cache:
+            # note: every selected token INCLUDING the last has been fed
+            # through decode_step, so the returned cache holds all n_steps
+            # generated tokens (the rollout session relies on this)
+            return out + (carry[0],)
+        return out
+
+    def _rollout_step_impl(
+        self, params, cache, small_batch, slot_start, key,
+        *, obs_sep_tokens, action_tokens, clear_len, buffer_len,
+        sel_start, sel_end, deterministic,
+    ):
+        """ONE compiled device call per env step of a rollout (rollout
+        cache): embed the new timestep's [obs | sep] tokens, ring-extend the
+        KV cache (evicting the oldest timestep slot), and decode the action
+        tokens — O(tokens_per_timestep * S) work instead of the O(S^2)
+        re-prefill the re-pack path pays (reference re-tokenizes and re-runs
+        the FULL context every env step, control_task.py:144-159 +
+        gato_policy.py:586-605).
+
+        Returns (action_token_ids [B, m], updated cache).  The decode scan
+        writes every generated token's k/v — including the last — so the
+        cache leaves this call holding the COMPLETE timestep slot."""
+        emb_ts = self.model.apply(
+            {"params": params}, small_batch, method=NekoModel.embed_batch
+        )  # [B, tpt, D]: [obs | sep | zero-action-slot]
+        chunk = emb_ts[:, :obs_sep_tokens]
+        logits, vars_ = self.model.apply(
+            {"params": params, "cache": cache},
+            chunk, slot_start, slot_start, clear_len, buffer_len,
+            method=NekoModel.extend_step, mutable=["cache"],
+        )
+        cache = vars_["cache"]
+        last_logits = logits[:, -1]  # the separator position
+        pos0 = slot_start + obs_sep_tokens
+        tokens, cache = self._decode_scan_impl(
+            params, cache, last_logits, pos0, jnp.zeros_like(pos0), key, None,
+            n_steps=action_tokens, start=sel_start, end=sel_end,
+            deterministic=deterministic, with_pos=False, return_logits=False,
+            return_cache=True,
+        )
+        return tokens, cache
 
     def _select_batch_impl(self, logits, key, *, start, end, deterministic):
         window = logits[:, start : end + 1]
@@ -428,6 +479,9 @@ class Generator:
     def predict_answer(self, image, question_tokens, max_length: int = 16, **kw):
         return self.predict_response(image, question_tokens, max_length, **kw)
 
+    def rollout_session(self, **kw) -> "RolloutSession":
+        return RolloutSession(self, **kw)
+
     def predict_control_batch(
         self,
         examples: Sequence[Dict],
@@ -459,6 +513,156 @@ class Generator:
         )
         if action_kind == "discrete":
             return [int(t[0] - start) for t in tokens]
+        return [
+            decode_np(
+                t.astype(np.int32),
+                n_bins=ts.continuous_tokens,
+                offset=ts.continuous_start,
+            )
+            for t in tokens
+        ]
+
+
+class RolloutSession:
+    """Persistent ring-KV-cache rollout state across env steps (the 'rollout
+    cache', VERDICT.md round-2 item #5).
+
+    The reference re-tokenizes and re-forwards the ENTIRE trimmed context for
+    every env step (control_task.py:144-159 -> gato_policy.py:586-605); the
+    repo's previous path improved the per-token loop but still re-packed and
+    re-prefilled O(S^2) per step.  This session keeps the KV cache alive:
+    each env step appends only the new timestep's [obs | sep] tokens with one
+    ring `extend` and decodes the action tokens in the same compiled call —
+    ONE device dispatch per env step, O(tokens_per_timestep * S) attention
+    work.
+
+    Window-slide semantics: the ring evicts the oldest timestep's cache slot,
+    so the attended KEY SET equals the reference's trimmed window exactly.
+    Cached tokens keep the hidden states they were computed with (their own
+    full context at the time), i.e. TransformerXL-style inference memory —
+    the upgrade the reference's own roadmap asks for (misc/todo.md:12
+    "TransformerXL style memory during inference").  Until the first
+    eviction the outputs are bit-identical to the re-pack path
+    (tests/test_rollout_cache.py).
+    """
+
+    def __init__(
+        self,
+        generator: Generator,
+        *,
+        obs_str: str,
+        action_str: str,
+        obs_tokens: int,
+        action_tokens: int,
+        action_kind: str,
+        num_actions: Optional[int] = None,
+        context_timesteps: int,
+        patches_per_timestep: int = 0,
+    ):
+        self.g = generator
+        self.cfg = generator.cfg
+        self.obs_str = obs_str
+        self.action_str = action_str
+        self.obs_tokens = obs_tokens
+        self.action_tokens = action_tokens
+        self.action_kind = action_kind
+        self.num_actions = num_actions
+        self.patches_per_timestep = patches_per_timestep
+        self.tpt = obs_tokens + 1 + action_tokens
+        self.L = context_timesteps * self.tpt
+        assert self.L <= self.cfg.context_len, (
+            f"ring buffer {self.L} exceeds cache length {self.cfg.context_len}"
+        )
+        ts = self.cfg.token_space
+        self.sel_start = ts.start(action_kind)
+        self.sel_end = ts.end(action_kind)
+        if action_kind == "discrete":
+            assert action_tokens == 1 and num_actions is not None
+            self.sel_end = self.sel_start + num_actions - 1
+        self._act_dtype = (
+            np.float32 if action_kind == "continuous" else np.int32
+        )
+        self.cache = None
+        self.slot_start = None
+
+    # ------------------------------------------------------------- episode
+    def start(self, prompts: Sequence[Optional[Dict]]) -> None:
+        """Begin episodes: prefill the cache with full-timestep prompts
+        (real actions included), or start empty for promptless eval.  All
+        rows must be prompted or all promptless."""
+        B = len(prompts)
+        S, D = self.cfg.context_len, self.cfg.embed_dim
+        g = self.g
+        if all(p is None for p in prompts):
+            emb = jnp.zeros((B, S, D), self.cfg.activation_dtype)
+            mask = jnp.zeros((B, S), bool)
+            _, self.cache = g._prefill(g.params, emb, mask)
+            lengths = np.zeros(B, np.int64)
+        else:
+            assert all(p is not None for p in prompts), (
+                "mixed prompted/promptless rows are not supported"
+            )
+            arrays = g.packer.pack_batch(list(prompts), pad_side="right")
+            lengths = arrays.pop("lengths")
+            assert (lengths % self.tpt == 0).all(), (
+                "prompts must be whole timesteps"
+            )
+            batch = to_device_batch(arrays)
+            emb = g._embed_batch(g.params, batch)
+            mask = np.zeros((B, S), bool)
+            for i, L in enumerate(lengths):
+                mask[i, :L] = True
+            _, self.cache = g._prefill(g.params, emb, jnp.asarray(mask))
+        self.slot_start = (lengths % self.L).astype(np.int32)
+
+    # ---------------------------------------------------------------- step
+    def step(
+        self,
+        observations: Sequence[np.ndarray],
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+    ) -> List:
+        """One env step for every row.  `observations` holds one
+        already-transformed SINGLE-TIMESTEP obs array per row (leading dim 1,
+        e.g. task._obs_array(raw_obs[None])).  Returns decoded actions (ints
+        for discrete, float arrays for continuous)."""
+        assert self.cache is not None, "call start() first"
+        B = len(observations)
+        examples = [
+            {
+                self.obs_str: obs,
+                self.action_str: np.zeros(
+                    (1, self.action_tokens), self._act_dtype
+                ),
+            }
+            for obs in observations
+        ]
+        arrays = self.g.packer.pack_batch(
+            examples,
+            pad_side="right",
+            seq_len=self.tpt,
+            patch_budget=B * self.patches_per_timestep,
+        )
+        arrays.pop("lengths")
+        small = to_device_batch(arrays)
+        if rng is None:
+            self.g._rng, rng = jax.random.split(self.g._rng)
+        tokens, self.cache = self.g._rollout_step(
+            self.g.params, self.cache, small,
+            jnp.asarray(self.slot_start), rng,
+            obs_sep_tokens=self.obs_tokens + 1,
+            action_tokens=self.action_tokens,
+            clear_len=self.tpt,
+            buffer_len=self.L,
+            sel_start=self.sel_start,
+            sel_end=self.sel_end,
+            deterministic=deterministic,
+        )
+        self.slot_start = (self.slot_start + self.tpt) % self.L
+        tokens = np.asarray(tokens, np.int64)
+        ts = self.cfg.token_space
+        if self.action_kind == "discrete":
+            return [int(t[0] - self.sel_start) for t in tokens]
         return [
             decode_np(
                 t.astype(np.int32),

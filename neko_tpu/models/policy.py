@@ -211,6 +211,28 @@ class NekoModel(nn.Module):
         )
         return self.predict_token(hidden).astype(jnp.float32)
 
+    def extend_step(
+        self,
+        emb: jnp.ndarray,          # [B, K, D] chunk of new-token embeddings
+        start: jnp.ndarray,        # int32[B] ring position of chunk token 0
+        clear_start: jnp.ndarray,  # int32[B] evicted-slot start position
+        clear_len: int,            # static: tokens per timestep
+        buffer_len: int,           # static: ring size (ctx_ts * clear_len)
+    ) -> jnp.ndarray:
+        """Chunked append into the ring KV cache (rollout cache): evict one
+        timestep slot, write K tokens at (start + i) % buffer_len, and return
+        fp32 logits [B, K, V] for the chunk.  See the 'extend' branch of
+        models/transformer.py::Attention for why ring eviction is exact."""
+        hidden = self.transformer(
+            emb,
+            jnp.ones(emb.shape[:2], jnp.bool_),
+            deterministic=True,
+            mode="extend",
+            decode_index=start,
+            extend_clear=(clear_start, clear_len, buffer_len),
+        )
+        return self.predict_token(hidden).astype(jnp.float32)
+
     def embed_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
         """Plain token-id embedding (decode loop helper)."""
         return self.embed_token(tokens).astype(self.cfg.activation_dtype)

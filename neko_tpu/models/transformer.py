@@ -62,11 +62,12 @@ class Attention(nn.Module):
     def __call__(
         self,
         x: jnp.ndarray,           # [B, S, D] (S == 1 in decode mode)
-        input_mask: jnp.ndarray,  # [B, S] bool; ignored in decode mode
+        input_mask: jnp.ndarray,  # [B, S] bool; ignored in decode/extend mode
         *,
         deterministic: bool = True,
-        mode: str = "train",      # 'train' | 'prefill' | 'decode'
-        decode_index: Optional[jnp.ndarray] = None,  # int32[B], decode only
+        mode: str = "train",      # 'train' | 'prefill' | 'decode' | 'extend'
+        decode_index: Optional[jnp.ndarray] = None,  # int32[B]; decode/extend
+        extend_clear: Optional[tuple] = None,  # (clear_start i32[B], clear_len, buffer_len)
     ) -> jnp.ndarray:
         cfg = self.cfg
         B, S, D = x.shape
@@ -96,7 +97,60 @@ class Attention(nn.Module):
         k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
 
-        if mode == "decode":
+        if mode == "extend":
+            # Chunked append into the RING KV cache (rollout cache): K new
+            # tokens enter at positions (decode_index + i) % buffer_len after
+            # the evicted timestep slot [clear_start, clear_start+clear_len)
+            # is masked out.  Because the transformer has NO absolute
+            # position embedding (reference deletes GPT-2's wpe,
+            # trajectory_gpt2.py:540,700-701) attention is permutation-
+            # invariant over the cached key set, so ring eviction at timestep
+            # granularity reproduces the reference's sliding-window re-pack
+            # (control_task.py:154-155) EXACTLY — without the O(S^2)
+            # re-prefill per env step.
+            assert decode_index is not None and extend_clear is not None
+            clear_start, clear_len, buffer_len = extend_clear
+            Sc = cfg.context_len
+            ck = self.variable(
+                "cache", "key",
+                lambda: jnp.zeros((B, H, Sc, hd), dtype),
+            )
+            cv = self.variable(
+                "cache", "value",
+                lambda: jnp.zeros((B, H, Sc, hd), dtype),
+            )
+            cm = self.variable(
+                "cache", "mask", lambda: jnp.zeros((B, Sc), jnp.bool_)
+            )
+            rows = jnp.arange(B)
+            cidx = (
+                clear_start[:, None] + jnp.arange(clear_len)[None, :]
+            ) % buffer_len
+            mask_val = cm.value.at[rows[:, None], cidx].set(False)
+            wpos = (
+                decode_index[:, None] + jnp.arange(S)[None, :]
+            ) % buffer_len  # [B, K]
+            ck.value = ck.value.at[rows[:, None], :, wpos].set(
+                k.transpose(0, 2, 1, 3)
+            )
+            cv.value = cv.value.at[rows[:, None], :, wpos].set(
+                v.transpose(0, 2, 1, 3)
+            )
+            mask_val = mask_val.at[rows[:, None], wpos].set(True)
+            cm.value = mask_val
+            # chunk-internal causality: query i may not attend chunk tokens
+            # written after it (suffix-OR over the chunk's one-hot positions)
+            oh = jax.nn.one_hot(wpos, Sc, dtype=jnp.int32)        # [B, K, Sc]
+            csum = jnp.cumsum(oh[:, ::-1], axis=1)[:, ::-1]
+            future = (csum - oh) > 0
+            allowed = mask_val[:, None, :] & ~future              # [B, K, Sc]
+            bias = jnp.where(allowed[:, None], 0.0, _BIG_NEG).astype(
+                jnp.float32
+            )
+            out = _dot_product_attention(
+                q, ck.value, cv.value, bias, None, 0.0, True
+            )
+        elif mode == "decode":
             assert S == 1, "decode mode consumes one token at a time"
             ck = self.variable(
                 "cache", "key",
@@ -129,16 +183,43 @@ class Attention(nn.Module):
 
             from neko_tpu.ops import attention as attn_ops
 
+            dropout_active = not deterministic and cfg.dropout > 0.0
+            use_seq_parallel = mode == "train" and attn_ops.seq_shards() > 1
             use_flash = (
-                cfg.attention_impl in ("auto", "flash")
+                not use_seq_parallel
+                and cfg.attention_impl in ("auto", "flash")
                 and attn_ops.flash_supported()
                 and attn_ops.flash_shape_ok(S, hd, H)
             )
-            if use_flash:
-                out = attn_ops.tpu_flash_attention(q, k, v, input_mask)
+            if use_flash and dropout_active and not attn_ops.flash_dropout_supported(S, hd):
+                # the generic flash kernel can't apply attn dropout
+                # (reference applies it in both paths, trajectory_gpt2.py:179,249)
+                use_flash = False
+            if use_seq_parallel:
+                # sequence-parallel training: ring attention over the mesh's
+                # 'seq' axis (long-context capability; the reference only
+                # truncates, SURVEY.md §5.7)
+                dk = self.make_rng("dropout") if dropout_active else None
+                out = attn_ops.sequence_parallel_attention(
+                    q, k, v, input_mask,
+                    dropout_key=dk,
+                    dropout_rate=cfg.dropout if dropout_active else 0.0,
+                )
+            elif use_flash:
+                seed = None
+                rate = 0.0
+                if dropout_active:
+                    rate = cfg.dropout
+                    seed = jax.random.randint(
+                        self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
+                        dtype=jnp.int32,
+                    )
+                out = attn_ops.tpu_flash_attention(
+                    q, k, v, input_mask, dropout_seed=seed, dropout_rate=rate
+                )
             else:
                 dropout_rng = None
-                if not deterministic and cfg.dropout > 0.0:
+                if dropout_active:
                     dropout_rng = self.make_rng("dropout")
                 out = attn_ops.xla_attention(
                     q, k, v, input_mask,
@@ -193,7 +274,7 @@ class Block(nn.Module):
     mode: str = "train"
 
     @nn.compact
-    def __call__(self, x, input_mask, decode_index=None):
+    def __call__(self, x, input_mask, decode_index=None, extend_clear=None):
         cfg = self.cfg
         h = nn.LayerNorm(
             epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
@@ -205,6 +286,7 @@ class Block(nn.Module):
             deterministic=self.deterministic,
             mode=self.mode,
             decode_index=decode_index,
+            extend_clear=extend_clear,
         )
         h = nn.LayerNorm(
             epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
@@ -228,6 +310,7 @@ class Transformer(nn.Module):
         deterministic: bool = True,
         mode: str = "train",
         decode_index=None,
+        extend_clear=None,
     ) -> jnp.ndarray:
         cfg = self.cfg
         block_cls = Block
@@ -236,7 +319,7 @@ class Transformer(nn.Module):
         for i in range(cfg.layers):
             x = block_cls(
                 cfg, deterministic=deterministic, mode=mode, name=f"h_{i}"
-            )(x, input_mask, decode_index)
+            )(x, input_mask, decode_index, extend_clear)
         x = nn.LayerNorm(
             epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
             name="ln_f",

@@ -14,9 +14,12 @@ Multi-chip: attention is independent per (batch, head), so under an active
 ('data','model') mesh the kernel runs inside shard_map with batch on 'data'
 and heads on 'model' — no collectives inside the kernel.
 
-NOTE: attention-weight dropout is only applied on the XLA path; the flash
-path ignores it (standard practice for flash kernels; the reference's own
-SDPA path does apply it — documented deviation).
+Attention-weight dropout (reference trajectory_gpt2.py:179,249) is applied on
+BOTH paths: the XLA path uses jax.random.bernoulli; the whole-head Pallas
+kernel regenerates a deterministic keep mask from the on-chip PRNG
+(attention_kernel._keep_scale) so fwd and custom-VJP bwd agree.  The generic
+bundled flash kernel has no dropout — Attention routes train-mode dropout
+through the XLA path when the whole-head kernel doesn't support the shape.
 """
 
 from __future__ import annotations
@@ -98,44 +101,128 @@ def _active_mesh():
     return mesh
 
 
-def _kernel_local(q, k, v, key_mask, sm_scale):
+def _kernel_local(q, k, v, key_mask, seed, sm_scale, dropout_rate, axes=()):
     """Pick the authored whole-head kernel when the workload fits (small
     heads, S <= 1024 — 2x faster than the generic flash kernel there),
-    else the generic flash kernel."""
+    else the generic flash kernel.
+
+    `axes`: mesh axis names this runs under (inside shard_map) — folded into
+    the dropout seed so shards draw independent masks."""
     from neko_tpu.ops import attention_kernel as whk
 
     if whk.supported(q.shape[2], q.shape[3], q.dtype):
         start, end = whk.mask_bounds_from_key_mask(key_mask)
-        return whk.whole_head_attention(q, k, v, start, end, sm_scale)
+        if dropout_rate > 0.0:
+            for i, name in enumerate(axes):
+                seed = seed + jax.lax.axis_index(name) * (100_003 + i)
+            return whk.whole_head_attention(
+                q, k, v, start, end, seed, sm_scale, dropout_rate
+            )
+        return whk.whole_head_attention(q, k, v, start, end, None, sm_scale)
+    assert dropout_rate == 0.0, (
+        "the generic flash kernel has no dropout; the caller must route "
+        "train-mode dropout through the XLA path for unsupported shapes"
+    )
     return _flash_local(q, k, v, key_mask, sm_scale)
 
 
-def tpu_flash_attention(q, k, v, key_mask):
+def flash_dropout_supported(S: int, hd: int) -> bool:
+    """True when the flash path can apply attention-weight dropout (the
+    whole-head kernel handles the shape)."""
+    from neko_tpu.ops import attention_kernel as whk
+
+    return whk.supported(S, hd, None)
+
+
+def tpu_flash_attention(q, k, v, key_mask, *, dropout_seed=None, dropout_rate=0.0):
     """Pallas attention, shard_mapped over an active ('data','model') mesh
     when one is in scope (attention is independent per batch x head, so no
-    collectives are needed inside the kernel)."""
+    collectives are needed inside the kernel).
+
+    dropout_rate > 0 requires `dropout_seed` (int32 [1]) and a shape the
+    whole-head kernel supports (see flash_dropout_supported)."""
     sm_scale = q.shape[-1] ** -0.5
+    if dropout_rate <= 0.0:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
     mesh = _active_mesh()
     if mesh is None or mesh.size == 1:
-        return _kernel_local(q, k, v, key_mask, sm_scale)
+        return _kernel_local(
+            q, k, v, key_mask, dropout_seed, sm_scale, dropout_rate
+        )
 
     from jax.experimental.shard_map import shard_map
 
+    axes = tuple(mesh.axis_names)
     fn = shard_map(
-        functools.partial(_kernel_local, sm_scale=sm_scale),
+        functools.partial(
+            _kernel_local, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            axes=axes,
+        ),
         mesh=mesh,
         in_specs=(
             P("data", "model", None, None),
             P("data", "model", None, None),
             P("data", "model", None, None),
             P("data", None),
+            P(),
         ),
         out_specs=P("data", "model", None, None),
         check_rep=False,
     )
-    return fn(q, k, v, key_mask)
+    return fn(q, k, v, key_mask, dropout_seed)
 
 
 def flash_shape_ok(S: int, hd: int, heads: int) -> bool:
     """The bundled kernel wants the sequence in >=128 lane-aligned blocks."""
     return S >= 128 and S % 128 == 0
+
+
+def seq_shards() -> int:
+    """Size of the 'seq' axis of the active mesh (1 when no mesh / no axis)."""
+    from neko_tpu.parallel.mesh import seq_axis_size
+
+    return seq_axis_size(_active_mesh())
+
+
+def sequence_parallel_attention(
+    q, k, v, key_mask, *, dropout_key=None, dropout_rate=0.0
+):
+    """Ring attention over the active mesh's 'seq' axis: batch on 'data',
+    heads on 'model', sequence blocks rotating around the 'seq' ring
+    (ops/ring_attention.py).  The long-context training path — per-device
+    attention memory is O((S/seq)^2) instead of O(S^2)."""
+    from jax.experimental.shard_map import shard_map
+
+    from neko_tpu.ops.ring_attention import ring_attention
+
+    mesh = _active_mesh()
+    assert mesh is not None and dict(mesh.shape).get("seq", 1) > 1
+
+    if dropout_rate <= 0.0:
+        dropout_key = jax.random.key(0)
+
+    def local(q, k, v, km, dk):
+        if dropout_rate > 0.0:
+            # decorrelate the replicated key across data/model shards; the
+            # ring op folds in the seq position itself
+            dk = jax.random.fold_in(dk, jax.lax.axis_index("data"))
+            dk = jax.random.fold_in(dk, jax.lax.axis_index("model"))
+        return ring_attention(
+            q, k, v, axis_name="seq", key_mask=km,
+            dropout_rate=dropout_rate, dropout_key=dk,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data", "model", "seq", None),
+            P("data", "model", "seq", None),
+            P("data", "model", "seq", None),
+            P("data", "seq"),
+            P(),
+        ),
+        out_specs=P("data", "model", "seq", None),
+        check_rep=False,
+    )
+    return fn(q, k, v, key_mask, dropout_key)

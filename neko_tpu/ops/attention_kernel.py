@@ -60,32 +60,63 @@ def _dot(a, b):
     )
 
 
-def _fwd_kernel(start_ref, end_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
+def _keep_scale(seed, b, h, n_h, S, dropout_rate):
+    """Regenerate the per-(batch, head) dropout keep/scale matrix.
+
+    Deterministic given (seed, b, h) so the backward kernel reproduces the
+    exact mask the forward applied (reference applies attn_pdrop on both its
+    manual and SDPA paths, trajectory_gpt2.py:179,249).  The uint32 threshold
+    compare gives P(drop) = dropout_rate to within 2**-32.
+    """
+    pltpu.prng_seed(seed, b * n_h + h)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((S, S)), jnp.uint32)
+    threshold = jnp.uint32(min(int(dropout_rate * 2**32), 2**32 - 1))
+    keep = (bits >= threshold).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - dropout_rate))
+
+
+def _fwd_kernel(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
+    *, sm_scale, dropout_rate,
+):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     S = q_ref.shape[-2]
     q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
     scores = _dot(q, k.T) * sm_scale
     scores = _mask(scores, start_ref[b], end_ref[b], S)
     p = _softmax(scores)
+    if dropout_rate > 0.0:
+        p = p * _keep_scale(
+            seed_ref[0], b, h, pl.num_programs(1), S, dropout_rate
+        )
     o = _dot(p.astype(q.dtype), v)
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(
-    start_ref, end_ref, q_ref, k_ref, v_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, *, sm_scale,
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, sm_scale, dropout_rate,
 ):
     b = pl.program_id(0)
+    h = pl.program_id(1)
     S = q_ref.shape[-2]
     q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
     scores = _dot(q, k.T) * sm_scale
     scores = _mask(scores, start_ref[b], end_ref[b], S)
     p = _softmax(scores)
-    pb = p.astype(q.dtype)
-    # dv = P^T do
-    dv = _dot(pb.T, do)
-    # dP = do v^T ;  dS = P * (dP - rowsum(dP * P)) * scale
+    if dropout_rate > 0.0:
+        ks = _keep_scale(seed_ref[0], b, h, pl.num_programs(1), S, dropout_rate)
+        y = p * ks  # dropped+rescaled probabilities actually used: o = y v
+    else:
+        ks = None
+        y = p
+    # dv = Y^T do
+    dv = _dot(y.astype(q.dtype).T, do)
+    # dY = do v^T ; dP = dY * keep_scale ; dS = P * (dP - rowsum(dP * P)) * scale
     dp = _dot(do, v.T)
+    if ks is not None:
+        dp = dp * ks
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
     dq = _dot(ds, k)
@@ -104,64 +135,111 @@ def _specs(B, H, S, hd):
     return qspec
 
 
-def _pallas_fwd(q, k, v, start, end, sm_scale):
+def _pallas_fwd(q, k, v, start, end, seed, sm_scale, dropout_rate):
     B, H, S, hd = q.shape
     spec = _specs(B, H, S, hd)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, H),
         in_specs=[spec, spec, spec],
         out_specs=spec,
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(start, end, q, k, v)
+    )(start, end, seed, q, k, v)
 
 
-def _pallas_bwd(q, k, v, do, start, end, sm_scale):
+def _pallas_bwd(q, k, v, do, start, end, seed, sm_scale, dropout_rate):
     B, H, S, hd = q.shape
     spec = _specs(B, H, S, hd)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, H),
         in_specs=[spec, spec, spec, spec],
         out_specs=[spec, spec, spec],
     )
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale),
+        functools.partial(
+            _bwd_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate
+        ),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
-    )(start, end, q, k, v, do)
+    )(start, end, seed, q, k, v, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def whole_head_attention(q, k, v, start, end, sm_scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def whole_head_attention(
+    q, k, v, start, end, seed=None, sm_scale=None, dropout_rate=0.0
+):
     """Causal attention with contiguous key validity [start, end) per batch.
 
     q, k, v: [B, H, S, hd]; start/end: int32 [B].  Returns [B, H, S, hd].
+
+    dropout_rate > 0 applies attention-weight dropout (reference
+    trajectory_gpt2.py:179,249) with the on-chip PRNG; `seed` is an int32 [1]
+    array and the mask is deterministic given (seed, batch, head) so the
+    custom backward regenerates it exactly.  seed=None (allowed only with
+    dropout_rate == 0) supplies a dummy.
     """
-    return _pallas_fwd(q, k, v, start, end, sm_scale)
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    if seed is None:
+        assert dropout_rate == 0.0, "dropout requires an explicit seed"
+        seed = jnp.zeros((1,), jnp.int32)
+    return _pallas_fwd(q, k, v, start, end, seed, sm_scale, dropout_rate)
 
 
-def _vjp_fwd(q, k, v, start, end, sm_scale):
-    return _pallas_fwd(q, k, v, start, end, sm_scale), (q, k, v, start, end)
+def _vjp_fwd(q, k, v, start, end, seed, sm_scale, dropout_rate):
+    if seed is None:
+        assert dropout_rate == 0.0, "dropout requires an explicit seed"
+        seed = jnp.zeros((1,), jnp.int32)
+    out = _pallas_fwd(q, k, v, start, end, seed, sm_scale, dropout_rate)
+    return out, (q, k, v, start, end, seed)
 
 
-def _vjp_bwd(sm_scale, res, do):
-    q, k, v, start, end = res
-    dq, dk, dv = _pallas_bwd(q, k, v, do, start, end, sm_scale)
-    return dq, dk, dv, None, None
+def _vjp_bwd(sm_scale, dropout_rate, res, do):
+    q, k, v, start, end, seed = res
+    dq, dk, dv = _pallas_bwd(
+        q, k, v, do, start, end, seed, sm_scale, dropout_rate
+    )
+    return dq, dk, dv, None, None, None
 
 
 whole_head_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def dropout_keep_scale(seed, B: int, H: int, S: int, dropout_rate: float):
+    """Materialize the exact keep/scale matrices the kernels apply — test
+    support for verifying the dropout fwd/bwd against an XLA reference that
+    uses the identical mask.  Returns fp32 [B, H, S, S]."""
+
+    def kern(seed_ref, o_ref):
+        b, h = pl.program_id(0), pl.program_id(1)
+        o_ref[0, 0] = _keep_scale(
+            seed_ref[0], b, h, pl.num_programs(1), S, dropout_rate
+        )
+
+    spec = pl.BlockSpec(
+        (1, 1, S, S), lambda b, h, *refs: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, H), in_specs=[], out_specs=spec
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, S, S), jnp.float32),
+    )(seed)
 
 
 def supported(S: int, hd: int, dtype) -> bool:

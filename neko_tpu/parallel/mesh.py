@@ -19,26 +19,40 @@ from jax.sharding import Mesh
 def create_mesh(
     data: Optional[int] = None,
     model: int = 1,
+    seq: int = 1,
     *,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ('data', 'model') mesh.
+    """Build a ('data', 'seq', 'model') mesh.
 
-    data=None uses all remaining devices for the data axis.  On multi-host
-    TPU slices call `jax.distributed.initialize()` first; `jax.devices()`
-    then spans the full slice and the mesh rides ICI within a slice.
+    data=None uses all remaining devices for the data axis.  `seq` > 1
+    enables sequence (context) parallelism: activations shard their S dim
+    over 'seq' and attention runs as ring attention over the axis
+    (ops/ring_attention.py) — the long-context capability the reference
+    lacks (it truncates; SURVEY.md §5.7).  On multi-host TPU slices call
+    `jax.distributed.initialize()` first; `jax.devices()` then spans the
+    full slice and the mesh rides ICI within a slice.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        assert n % model == 0, f"{n} devices not divisible by model={model}"
-        data = n // model
-    assert data * model == n, (
-        f"mesh {data}x{model} != {n} available devices"
+        assert n % (model * seq) == 0, (
+            f"{n} devices not divisible by model={model} * seq={seq}"
+        )
+        data = n // (model * seq)
+    assert data * seq * model == n, (
+        f"mesh {data}x{seq}x{model} != {n} available devices"
     )
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+    arr = np.asarray(devices).reshape(data, seq, model)
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 def single_device_mesh() -> Mesh:
     return create_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+
+def seq_axis_size(mesh: Optional[Mesh]) -> int:
+    """Size of the sequence-parallel axis of a mesh (1 when absent)."""
+    if mesh is None:
+        return 1
+    return dict(mesh.shape).get("seq", 1)

@@ -73,17 +73,42 @@ def param_shardings(mesh: Mesh, params) -> Any:
     )
 
 
-def batch_pspecs(batch) -> Any:
-    """Shard the leading (batch) dim of every array on 'data'."""
-    return jax.tree_util.tree_map(
-        lambda v: P("data", *([None] * (v.ndim - 1))), batch
+# [B, S] fields whose sequence dim shards over 'seq' under sequence
+# parallelism (the patch pool and gathered-loss index arrays are pooled over
+# the whole batch, not laid out along S — they stay seq-replicated and XLA
+# inserts the scatter/gather collectives).
+_SEQ_DIM_FIELDS = frozenset({"tokens", "input_mask", "target_mask", "inner_pos"})
+
+
+def _field_name(path) -> str:
+    k = path[0]
+    return str(getattr(k, "name", getattr(k, "key", k)))
+
+
+def _batch_spec(path, v, seq: bool) -> P:
+    if seq and v.ndim == 2 and _field_name(path) in _SEQ_DIM_FIELDS:
+        return P("data", "seq")
+    return P("data", *([None] * (v.ndim - 1)))
+
+
+def _has_seq(mesh: Optional[Mesh]) -> bool:
+    return mesh is not None and dict(mesh.shape).get("seq", 1) > 1
+
+
+def batch_pspecs(batch, mesh: Optional[Mesh] = None) -> Any:
+    """Shard the leading (batch) dim of every array on 'data'; under a mesh
+    with a 'seq' axis > 1, additionally shard the S dim of [B, S] token/mask
+    fields on 'seq'."""
+    seq = _has_seq(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: _batch_spec(p, v, seq), batch
     )
 
 
 def batch_shardings(mesh: Mesh, batch) -> Any:
-    return jax.tree_util.tree_map(
-        lambda v: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1)))),
-        batch,
+    seq = _has_seq(mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: NamedSharding(mesh, _batch_spec(p, v, seq)), batch
     )
 
 

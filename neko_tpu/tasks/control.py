@@ -290,6 +290,27 @@ class ControlTask(Task):
 
             return gym.make(spec)
 
+    def _make_session(self, generator: Generator):
+        ctx_ts = generator.cfg.context_len // self.tokens_per_timestep
+        return generator.rollout_session(
+            obs_str=self.obs_str,
+            action_str=self.action_str,
+            obs_tokens=self.observation_tokens,
+            action_tokens=self.action_tokens,
+            action_kind=self.action_kind,
+            num_actions=self.num_actions,
+            context_timesteps=ctx_ts,
+            patches_per_timestep=self.patches_per_timestep,
+        )
+
+    def _sample_eval_prompt(self, generator: Generator) -> Dict:
+        return self.sample_batch_configurable(
+            1, [1.0], ["end"],
+            max_tokens=generator.cfg.context_len,
+            share_prompt_episodes=True,
+            ep_ids=self.top_ids,
+        )[0]
+
     def evaluate(
         self,
         generator: Generator,
@@ -297,7 +318,16 @@ class ControlTask(Task):
         deterministic: bool = True,
         promptless_eval: bool = False,
         parallel_episodes: int = 1,
+        rollout_cache: bool = True,
     ) -> Dict[str, float]:
+        """Env-rollout evaluation (reference control_task.py:106-173).
+
+        rollout_cache=True (default) keeps the KV cache alive across env
+        steps: one compiled ring-extend + action-decode call per step instead
+        of re-packing and re-prefilling the full context
+        (inference/generator.py::RolloutSession).  False falls back to the
+        re-pack path (exact reference sliding-window semantics; used by the
+        parity tests)."""
         if parallel_episodes > 1:
             try:
                 clones = [self._clone_env() for _ in range(
@@ -310,10 +340,11 @@ class ControlTask(Task):
                 # demote to the serial path
                 return self._evaluate_parallel(
                     generator, n_iterations, deterministic, promptless_eval,
-                    clones,
+                    clones, rollout_cache,
                 )
         returns, clipped_returns, ep_lens = [], [], []
         ctx_ts = generator.cfg.context_len // self.tokens_per_timestep
+        session = self._make_session(generator) if rollout_cache else None
 
         for it in range(n_iterations):
             observation, _ = self.env.reset()
@@ -321,43 +352,47 @@ class ControlTask(Task):
             if promptless_eval:
                 obs_hist = None
                 act_hist = None
+                if session is not None:
+                    session.start([None])
             else:
-                prompt = self.sample_batch_configurable(
-                    1, [1.0], ["end"],
-                    max_tokens=generator.cfg.context_len,
-                    share_prompt_episodes=True,
-                    ep_ids=self.top_ids,
-                )[0]
+                prompt = self._sample_eval_prompt(generator)
                 obs_hist = prompt[self.obs_str]
                 act_hist = prompt[self.action_str]
+                if session is not None:
+                    session.start([prompt])
 
             done = False
             ep_return = ep_clip = 0.0
             ep_len = 0
             while not done:
                 new_obs = self._obs_array(np.asarray(observation)[None])
-                new_act = np.zeros(
-                    (1, self.action_tokens),
-                    np.float32 if self.action_kind == "continuous" else np.int32,
-                )
-                if obs_hist is None:
-                    obs_hist, act_hist = new_obs, new_act
+                if session is not None:
+                    action = session.step(
+                        [new_obs], deterministic=deterministic
+                    )[0]
                 else:
-                    obs_hist = np.concatenate([obs_hist, new_obs], axis=0)
-                    act_hist = np.concatenate([act_hist, new_act], axis=0)
-                obs_hist = obs_hist[-ctx_ts:]
-                act_hist = act_hist[-ctx_ts:]
+                    new_act = np.zeros(
+                        (1, self.action_tokens),
+                        np.float32 if self.action_kind == "continuous" else np.int32,
+                    )
+                    if obs_hist is None:
+                        obs_hist, act_hist = new_obs, new_act
+                    else:
+                        obs_hist = np.concatenate([obs_hist, new_obs], axis=0)
+                        act_hist = np.concatenate([act_hist, new_act], axis=0)
+                    obs_hist = obs_hist[-ctx_ts:]
+                    act_hist = act_hist[-ctx_ts:]
 
-                example = {self.obs_str: obs_hist, self.action_str: act_hist}
-                action = generator.predict_control(
-                    example,
-                    action_kind=self.action_kind,
-                    action_tokens=self.action_tokens,
-                    num_actions=self.num_actions,
-                    deterministic=deterministic,
-                    rng=None,
-                )
-                act_hist[-1] = action
+                    example = {self.obs_str: obs_hist, self.action_str: act_hist}
+                    action = generator.predict_control(
+                        example,
+                        action_kind=self.action_kind,
+                        action_tokens=self.action_tokens,
+                        num_actions=self.num_actions,
+                        deterministic=deterministic,
+                        rng=None,
+                    )
+                    act_hist[-1] = action
                 env_action = (
                     int(action) if self.action_kind == "discrete"
                     else np.asarray(action, np.float32)
@@ -386,74 +421,90 @@ class ControlTask(Task):
         deterministic: bool,
         promptless_eval: bool,
         clones: List,
+        rollout_cache: bool = True,
     ) -> Dict[str, float]:
-        """Lockstep rollouts over cloned envs: one batched KV-cache decode
+        """Lockstep rollouts over cloned envs: one batched device call
         serves every active episode per env step (the reference runs
-        episodes strictly serially, control_task.py:113-166)."""
+        episodes strictly serially, control_task.py:113-166).  With
+        rollout_cache the call is a ring-extend + decode instead of a full
+        re-prefill (see evaluate)."""
         ctx_ts = generator.cfg.context_len // self.tokens_per_timestep
         returns, clipped_returns, ep_lens = [], [], []
         remaining = n_iterations
         act_dtype = (
             np.float32 if self.action_kind == "continuous" else np.int32
         )
+        session = self._make_session(generator) if rollout_cache else None
         while remaining > 0:
             G = min(len(clones), remaining)
             envs = clones[:G]
             obs = []
             obs_hist: List = []
             act_hist: List = []
+            prompts: List = []
             for env in envs:
                 o, _ = env.reset()
                 obs.append(o)
                 if promptless_eval:
+                    prompts.append(None)
                     obs_hist.append(None)
                     act_hist.append(None)
                 else:
-                    prompt = self.sample_batch_configurable(
-                        1, [1.0], ["end"],
-                        max_tokens=generator.cfg.context_len,
-                        share_prompt_episodes=True,
-                        ep_ids=self.top_ids,
-                    )[0]
+                    prompt = self._sample_eval_prompt(generator)
+                    prompts.append(prompt)
                     obs_hist.append(prompt[self.obs_str])
                     act_hist.append(prompt[self.action_str])
+            if session is not None:
+                session.start(prompts)
             done = [False] * G
             ep_ret = [0.0] * G
             ep_clip = [0.0] * G
             ep_len = [0] * G
 
             while not all(done):
-                examples = []
-                for i in range(G):
-                    if not done[i]:
-                        new_obs = self._obs_array(np.asarray(obs[i])[None])
-                        new_act = np.zeros((1, self.action_tokens), act_dtype)
-                        if obs_hist[i] is None:
-                            obs_hist[i], act_hist[i] = new_obs, new_act
-                        else:
-                            obs_hist[i] = np.concatenate(
-                                [obs_hist[i], new_obs], axis=0
-                            )[-ctx_ts:]
-                            act_hist[i] = np.concatenate(
-                                [act_hist[i], new_act], axis=0
-                            )[-ctx_ts:]
-                    examples.append(
-                        {
-                            self.obs_str: obs_hist[i],
-                            self.action_str: act_hist[i],
-                        }
+                if session is not None:
+                    # done rows keep stepping on their stale obs (static
+                    # batch shape); their actions are ignored below
+                    new_obs = [
+                        self._obs_array(np.asarray(obs[i])[None])
+                        for i in range(G)
+                    ]
+                    actions = session.step(
+                        new_obs, deterministic=deterministic
                     )
-                actions = generator.predict_control_batch(
-                    examples,
-                    action_kind=self.action_kind,
-                    action_tokens=self.action_tokens,
-                    num_actions=self.num_actions,
-                    deterministic=deterministic,
-                )
+                else:
+                    examples = []
+                    for i in range(G):
+                        if not done[i]:
+                            new_obs = self._obs_array(np.asarray(obs[i])[None])
+                            new_act = np.zeros((1, self.action_tokens), act_dtype)
+                            if obs_hist[i] is None:
+                                obs_hist[i], act_hist[i] = new_obs, new_act
+                            else:
+                                obs_hist[i] = np.concatenate(
+                                    [obs_hist[i], new_obs], axis=0
+                                )[-ctx_ts:]
+                                act_hist[i] = np.concatenate(
+                                    [act_hist[i], new_act], axis=0
+                                )[-ctx_ts:]
+                        examples.append(
+                            {
+                                self.obs_str: obs_hist[i],
+                                self.action_str: act_hist[i],
+                            }
+                        )
+                    actions = generator.predict_control_batch(
+                        examples,
+                        action_kind=self.action_kind,
+                        action_tokens=self.action_tokens,
+                        num_actions=self.num_actions,
+                        deterministic=deterministic,
+                    )
                 for i in range(G):
                     if done[i]:
                         continue
-                    act_hist[i][-1] = actions[i]
+                    if session is None:
+                        act_hist[i][-1] = actions[i]
                     env_action = (
                         int(actions[i]) if self.action_kind == "discrete"
                         else np.asarray(actions[i], np.float32)

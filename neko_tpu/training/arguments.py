@@ -124,7 +124,8 @@ class TrainingArgs:
     save_dir: str = field(default="models")
 
     # ---- TPU-framework extensions (not in the reference) ----
-    mesh_model_axis: int = field(default=1, metadata={"help": "Tensor-parallel degree; data axis = n_devices / this."})
+    mesh_model_axis: int = field(default=1, metadata={"help": "Tensor-parallel degree; data axis = n_devices / (this * mesh_seq_axis)."})
+    mesh_seq_axis: int = field(default=1, metadata={"help": "Sequence-parallel degree: shards the context dim over a 'seq' mesh axis and runs ring attention over it — trains contexts larger than one chip's attention memory (new capability; the reference truncates)."})
     max_patches: int = field(default=-1, metadata={"help": "Static per-example image-patch budget; -1 = derive from tasks."})
     remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
     seed: int = field(default=42)

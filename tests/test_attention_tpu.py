@@ -52,7 +52,7 @@ def test_whole_head_kernel_matches_xla(pad):
     scale = hd ** -0.5
 
     out = jax.jit(
-        lambda q, k, v: whole_head_attention(q, k, v, start, end, scale)
+        lambda q, k, v: whole_head_attention(q, k, v, start, end, None, scale)
     )(q, k, v)
     ref = jax.jit(lambda q, k, v: xla_attention(q, k, v, km))(q, k, v)
     for b in range(B):
@@ -86,7 +86,7 @@ def test_whole_head_kernel_grads_match_xla():
 
     g1 = jax.jit(jax.grad(
         lambda q, k, v: (
-            (whole_head_attention(q, k, v, start, end, scale) * w) ** 2
+            (whole_head_attention(q, k, v, start, end, None, scale) * w) ** 2
         ).sum(), argnums=(0, 1, 2),
     ))(q, k, v)
     # the kernel pins matmul precision to DEFAULT (bf16 passes on MXU);
@@ -100,4 +100,98 @@ def test_whole_head_kernel_grads_match_xla():
         scale_ref = np.abs(np.asarray(b)).max()
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=2e-3 * max(scale_ref, 1.0)
+        )
+
+
+@requires_tpu
+def test_whole_head_dropout_deterministic_and_varies():
+    from neko_tpu.ops.attention_kernel import (
+        mask_bounds_from_key_mask,
+        whole_head_attention,
+    )
+
+    B, H, S, hd = 2, 2, 256, 32
+    rng = np.random.RandomState(2)
+    q = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    km = jnp.ones((B, S), bool)
+    start, end = mask_bounds_from_key_mask(km)
+    scale = hd ** -0.5
+
+    fn = jax.jit(
+        lambda s: whole_head_attention(q, k, v, start, end, s, scale, 0.3)
+    )
+    s1 = jnp.asarray([7], jnp.int32)
+    s2 = jnp.asarray([8], jnp.int32)
+    a, a2, b = np.asarray(fn(s1)), np.asarray(fn(s1)), np.asarray(fn(s2))
+    np.testing.assert_array_equal(a, a2)  # same seed -> same mask
+    assert np.abs(a - b).max() > 1e-3     # different seed -> different mask
+    nodrop = np.asarray(
+        jax.jit(
+            lambda: whole_head_attention(q, k, v, start, end, s1, scale, 0.0)
+        )()
+    )
+    assert np.abs(a - nodrop).max() > 1e-3  # dropout actually perturbs
+
+
+@requires_tpu
+def test_whole_head_dropout_fwd_bwd_match_xla_with_same_mask():
+    """The kernel's dropout fwd AND custom-VJP bwd must equal an XLA
+    attention that applies the IDENTICAL keep/scale mask (exported via
+    dropout_keep_scale)."""
+    from neko_tpu.ops.attention_kernel import (
+        dropout_keep_scale,
+        mask_bounds_from_key_mask,
+        whole_head_attention,
+    )
+
+    B, H, S, hd = 2, 2, 256, 32
+    rate = 0.25
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, S, hd), jnp.float32)
+    mask = np.ones((B, S), bool)
+    mask[0, :30] = False
+    km = jnp.asarray(mask)
+    start, end = mask_bounds_from_key_mask(km)
+    scale = hd ** -0.5
+    seed = jnp.asarray([41], jnp.int32)
+    ks = dropout_keep_scale(seed, B, H, S, rate)
+
+    def ref(q, k, v):
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+        allowed = causal[None, None] & km[:, None, None, :]
+        logits = jnp.where(allowed, logits, -1e9)
+        p = jax.nn.softmax(logits, axis=-1) * ks
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    w = km[:, None, :, None].astype(jnp.float32)
+    out = jax.jit(
+        lambda q, k, v: whole_head_attention(q, k, v, start, end, seed, scale, rate)
+    )(q, k, v)
+    with jax.default_matmul_precision("default"):
+        out_ref = jax.jit(ref)(q, k, v)
+    np.testing.assert_allclose(
+        np.asarray(out * w), np.asarray(out_ref * w), atol=2e-3
+    )
+
+    g1 = jax.jit(jax.grad(
+        lambda q, k, v: (
+            (whole_head_attention(q, k, v, start, end, seed, scale, rate) * w)
+            ** 2
+        ).sum(), argnums=(0, 1, 2),
+    ))(q, k, v)
+    with jax.default_matmul_precision("default"):
+        g2 = jax.jit(jax.grad(
+            lambda q, k, v: ((ref(q, k, v) * w) ** 2).sum(), argnums=(0, 1, 2)
+        ))(q, k, v)
+    for a, b in zip(g1, g2):
+        scale_ref = np.abs(np.asarray(b)).max()
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-3 * max(scale_ref, 1.0)
         )

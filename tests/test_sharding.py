@@ -56,9 +56,11 @@ def make_batch(batch_size=8):
 def test_mesh_shapes():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     mesh = create_mesh(data=4, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert dict(mesh.shape) == {"data": 4, "seq": 1, "model": 2}
     mesh = create_mesh(model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert dict(mesh.shape) == {"data": 4, "seq": 1, "model": 2}
+    mesh = create_mesh(seq=4)
+    assert dict(mesh.shape) == {"data": 2, "seq": 4, "model": 1}
 
 
 def test_param_pspec_rules():
@@ -110,6 +112,60 @@ def test_dp_matches_single_device():
         state1, loss1 = ctx1.train_step(state1, batch)
         state8, loss8 = ctx8.train_step(state8, batch)
         np.testing.assert_allclose(float(loss1), float(loss8), rtol=2e-4)
+
+
+def test_seq_parallel_train_step_matches_unsharded():
+    """Sequence-parallel (ring attention) training: a ('data':2,'seq':4) mesh
+    step computes the same loss trajectory as the single-device step —
+    VERDICT.md round-2 item #2 (long-context capability, integrated)."""
+    batch = make_batch(8)
+
+    mesh1 = create_mesh(data=1, model=1, devices=jax.devices()[:1])
+    ctx1 = TrainContext(CFG, OPT, mesh1, seed=0)
+    state1 = ctx1.init_state(batch)
+
+    mesh_sp = create_mesh(data=2, seq=4, model=1)
+    assert CFG.context_len % 4 == 0
+    ctx_sp = TrainContext(CFG, OPT, mesh_sp, seed=0)
+    state_sp = ctx_sp.init_state(batch)
+
+    for _ in range(3):
+        state1, loss1 = ctx1.train_step(state1, batch)
+        state_sp, loss_sp = ctx_sp.train_step(state_sp, batch)
+        np.testing.assert_allclose(float(loss1), float(loss_sp), rtol=2e-4)
+
+
+def test_seq_parallel_with_tensor_parallel():
+    """All three axes at once: ('data':2,'seq':2,'model':2)."""
+    batch = make_batch(8)
+    mesh = create_mesh(data=2, seq=2, model=2)
+    ctx = TrainContext(CFG, OPT, mesh, seed=0)
+    state = ctx.init_state(batch)
+    losses = []
+    for _ in range(5):
+        state, loss = ctx.train_step(state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+
+def test_seq_parallel_dropout_runs_and_varies():
+    """With dropout > 0 the ring path applies attention dropout: identical
+    params with different per-step RNG seeds give different losses."""
+    cfg = CFG.replace(dropout=0.2)
+    batch = make_batch(8)
+    mesh = create_mesh(data=2, seq=4, model=1)
+    ctx = TrainContext(cfg, OPT, mesh, seed=0)
+    state = ctx.init_state(batch)
+    losses = []
+    for seed in (1, 2):
+        # deep-copy: train_step donates its input state buffers
+        s = jax.tree_util.tree_map(jnp.copy, state).replace(
+            seed=jnp.uint32(seed)
+        )
+        _, loss = ctx.train_step(s, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert abs(losses[0] - losses[1]) > 1e-7, losses
 
 
 def test_schedule_matches_reference_semantics():
