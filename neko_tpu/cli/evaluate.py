@@ -34,6 +34,7 @@ def run(cli) -> dict:
     for key in (
         "eval_episodes", "eval_mode", "promptless_eval",
         "eval_text_num_examples", "eval_text_log_examples", "top_k", "cpu",
+        "eval_parallel_episodes",
     ):
         v = getattr(cli, key, None)
         if v is not None:
@@ -91,14 +92,26 @@ def run(cli) -> dict:
     gen = Generator(ctx.model, state.params, packer)
     deterministic = args.eval_mode == "deterministic"
 
+    from neko_tpu.training.arguments import resolve_parallel_episodes
+
     logs = {}
     for task in tasks:
         if isinstance(task, ControlTask):
+            # batched lockstep rollout by default (serial only when
+            # rendering a human window or explicitly requested with
+            # --eval_parallel_episodes=1) — the fast path is reachable from
+            # eval.py out of the box (VERDICT.md round-2 item #6)
+            parallel = 1 if getattr(cli, "render", False) else (
+                resolve_parallel_episodes(
+                    args.eval_parallel_episodes, args.eval_episodes
+                )
+            )
             m = task.evaluate(
                 gen,
                 n_iterations=args.eval_episodes,
                 deterministic=deterministic,
                 promptless_eval=bool(args.promptless_eval),
+                parallel_episodes=parallel,
             )
             for k, v in m.items():
                 logs[f"evaluation/{task.name}/{k}"] = v
@@ -139,6 +152,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--model_path", type=str, required=True,
                    help="checkpoint_<N> dir, or an exp dir (latest used)")
     p.add_argument("--eval_episodes", type=int, default=None)
+    p.add_argument("--eval_parallel_episodes", type=int, default=None,
+                   help="lockstep-batched episodes per device call; 0=auto")
     p.add_argument("--eval_mode", type=str, default=None,
                    choices=["deterministic", "stochastic"])
     p.add_argument("--promptless_eval", action="store_true", default=None)

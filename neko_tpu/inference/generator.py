@@ -67,7 +67,7 @@ class Generator:
             self._decode_scan_impl,
             static_argnames=(
                 "n_steps", "start", "end", "deterministic", "with_pos",
-                "return_logits", "return_cache",
+                "return_logits", "return_cache", "ring",
             ),
         )
         self._rollout_step = jax.jit(
@@ -144,6 +144,7 @@ class Generator:
         prompt_emb: Optional[jnp.ndarray] = None,
         prompt_len: Optional[int] = None,
         inner_pos_continuation: bool = False,
+        exact_window: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Generate tokens restricted to [start, end].
 
@@ -152,12 +153,17 @@ class Generator:
         inner_pos_continuation=True embeds generated tokens WITH continuing
         inner-timestep positions (predict_response semantics); False appends
         raw embeddings (predict_text/predict_control semantics).
+
+        When generation overflows the context the default path is the ring
+        decode (see generate_batch); exact_window=True instead re-prefills
+        the trimmed window per token — bit-exact reference sliding-window
+        semantics (gato_policy.py:466-467), O(S^2) per overflowing token.
         """
         S = self.cfg.context_len
         next_pos = 0
         if prompt_emb is None:
             emb, L, next_pos = self._pack_prompt(example, drop_trailing)
-            if L + max_new_tokens <= S:
+            if L + max_new_tokens <= S or not exact_window:
                 # common case: one prefill + ONE compiled decode scan (per-
                 # token host dispatch costs ~100 ms through a tunneled TPU)
                 toks, windows = self.generate_batch(
@@ -245,19 +251,18 @@ class Generator:
         amortizes per-step dispatch across the batch.
 
         All rows generate max_new_tokens; callers truncate per example.
-        Prompts must fit: max(L_i) + max_new_tokens <= context_len.
+        When a row would overflow the context the decode turns into a
+        token-granular RING over the cache — the attended key set stays the
+        reference's sliding `[-context_len:]` window, with
+        TransformerXL-style reuse of cached hidden states (the old fallback
+        re-prefilled the full context per overflowing token).
         """
         S = self.cfg.context_len
         N = len(examples)
         arrays = self.packer.pack_batch(examples, pad_side="right")
         lengths = arrays.pop("lengths") - drop_trailing
         next_pos = arrays["inner_pos"].max(axis=1) + 1  # [N]
-        if int(lengths.max()) + max_new_tokens > S:
-            raise ValueError(
-                f"batched generation would overflow the context "
-                f"({int(lengths.max())} + {max_new_tokens} > {S}); use "
-                "generate() which slides the window"
-            )
+        ring = int(lengths.max()) + max_new_tokens > S
         batch = to_device_batch(arrays)
         emb = self._embed_batch(self.params, batch)
         if rng is None:
@@ -277,7 +282,7 @@ class Generator:
             None if targets is None else jnp.asarray(targets, jnp.int32),
             n_steps=max_new_tokens, start=start, end=end,
             deterministic=deterministic, with_pos=inner_pos_continuation,
-            return_logits=return_logits,
+            return_logits=return_logits, ring=ring,
         )
         out = [np.asarray(ys[0], np.int64)]
         for y in ys[1:]:
@@ -288,7 +293,7 @@ class Generator:
     def _decode_scan_impl(
         self, params, cache, last_logits, pos, next_pos, key, targets,
         *, n_steps, start, end, deterministic, with_pos, return_logits,
-        return_cache=False,
+        return_cache=False, ring=False,
     ):
         """Fully-device decode loop: one compiled scan generates n_steps
         tokens without any host round-trip (per-token host syncs through the
@@ -298,7 +303,15 @@ class Generator:
         window logits (return_logits=True — a [N, T, W] fp32 fetch that can
         dominate wall time over slow links) or, when `targets` [N, T] is
         given, the per-position CE of the target under the restricted window
-        — computed on device so only [N, T] floats ever leave the chip."""
+        — computed on device so only [N, T] floats ever leave the chip.
+
+        ring=True writes each new token at pos % context_len, overwriting
+        (= evicting) the OLDEST cached token once the window is full: the
+        attended key set equals the reference's sliding `[-context_len:]`
+        window (gato_policy.py:466-467) at every step, while cached tokens
+        keep the hidden states they were computed with (TransformerXL-style
+        memory — see RolloutSession).  This replaces the old overflow
+        fallback of one full re-prefill per generated token."""
 
         def body(carry, x):
             cache, last_logits, pos, next_pos, key = carry
@@ -326,8 +339,9 @@ class Generator:
                     {"params": params}, tok[:, None],
                     method=NekoModel.embed_tokens,
                 )
+            write_pos = pos % self.cfg.context_len if ring else pos
             logits, vars_ = self.model.apply(
-                {"params": params, "cache": cache}, emb, pos,
+                {"params": params, "cache": cache}, emb, write_pos,
                 method=NekoModel.decode_step, mutable=["cache"],
             )
             new_carry = (

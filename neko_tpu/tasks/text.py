@@ -125,37 +125,29 @@ class TextTask(Task):
         for g in range(0, len(items), GROUP):
             group = items[g : g + GROUP]
             max_new = max(len(t) for _, t in group)
-            max_prompt = max(len(i) + 1 for i, _ in group)  # +1 separator
-            if max_prompt + max_new > self.context_length:
-                results = [
-                    generator.predict_text(
-                        {"text": inp}, max_length=len(tgt),
-                        deterministic=deterministic,
-                    )
-                    for inp, tgt in group
-                ]
-                per_example = [(lg, pr) for lg, pr in results]
-            else:
-                # per-target CE computed ON DEVICE (window logits are
-                # [N, T, 50257] fp32 — fetching them dominates wall time
-                # over slow host links); targets are ids WITHIN the window
-                tgt_mat = np.zeros((len(group), max_new), np.int32)
-                for i, (_, tgt) in enumerate(group):
-                    tgt_mat[i, : len(tgt)] = tgt
-                toks, nlls = generator.generate_batch(
-                    [{"text": inp} for inp, _ in group],
-                    max_new_tokens=max_new,
-                    start=ts.start("text"),
-                    end=ts.end("text"),
-                    deterministic=deterministic,
-                    targets=tgt_mat,
-                    return_logits=False,
-                )
-                per_example = [
-                    (nlls[i, : len(group[i][1])],
-                     toks[i, : len(group[i][1])] - ts.start("text"))
-                    for i in range(len(group))
-                ]
+            # per-target CE computed ON DEVICE (window logits are
+            # [N, T, 50257] fp32 — fetching them dominates wall time over
+            # slow host links); targets are ids WITHIN the window.  Groups
+            # that overflow the context use the same batched call — the
+            # decode rings over the cache (generator.generate_batch) instead
+            # of the old one-example-at-a-time re-prefill fallback.
+            tgt_mat = np.zeros((len(group), max_new), np.int32)
+            for i, (_, tgt) in enumerate(group):
+                tgt_mat[i, : len(tgt)] = tgt
+            toks, nlls = generator.generate_batch(
+                [{"text": inp} for inp, _ in group],
+                max_new_tokens=max_new,
+                start=ts.start("text"),
+                end=ts.end("text"),
+                deterministic=deterministic,
+                targets=tgt_mat,
+                return_logits=False,
+            )
+            per_example = [
+                (nlls[i, : len(group[i][1])],
+                 toks[i, : len(group[i][1])] - ts.start("text"))
+                for i in range(len(group))
+            ]
             for (inp, tgt), (nll_or_lg, pred) in zip(group, per_example):
                 if log_examples_to_output and tested % 50 == 0:
                     print(
@@ -164,12 +156,6 @@ class TextTask(Task):
                     )
                 # CE of generated-token logits vs target (text_task.py:98-102)
                 nll = np.asarray(nll_or_lg, np.float64)
-                if nll.ndim == 2:  # serial fallback returned window logits
-                    lg = nll
-                    m = lg.max(-1, keepdims=True)
-                    logz = np.log(np.exp(lg - m).sum(-1)) + m[:, 0]
-                    tgt_arr = np.asarray(tgt)
-                    nll = logz - lg[np.arange(len(tgt_arr)), tgt_arr]
                 total_loss += float(nll.mean())
                 tested += 1
 

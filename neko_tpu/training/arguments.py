@@ -78,7 +78,7 @@ class TrainingArgs:
 
     # Evaluation (reference:91-96)
     eval_episodes: int = field(default=10)
-    eval_parallel_episodes: int = field(default=1, metadata={"help": "Roll out this many control-eval episodes in lockstep with one batched decode per env step (TPU extension; 1 = reference-style serial)."})
+    eval_parallel_episodes: int = field(default=0, metadata={"help": "Roll out this many control-eval episodes in lockstep with one batched decode per env step (TPU extension). 0 = auto (min(eval_episodes, 8)); 1 = reference-style serial."})
     eval_mode: Literal["deterministic", "stochastic"] = field(default="deterministic")
     promptless_eval: bool = field(default=False)
     eval_text_num_examples: int = field(default=100)
@@ -135,3 +135,14 @@ class TrainingArgs:
     multihost: bool = field(default=False, metadata={"help": "Call jax.distributed.initialize() at startup (multi-host TPU slices)."})
     rng_impl: Literal["threefry", "rbg", "unsafe_rbg"] = field(default="unsafe_rbg", metadata={"help": "JAX PRNG implementation. unsafe_rbg (hardware RNG, the MaxText production default) makes dropout ~12ms/step cheaper at 768d/6L; threefry gives fully reproducible keys."})
     log_jsonl: bool = field(default=True, metadata={"help": "Append metrics to <save_dir>/<exp>/metrics.jsonl."})
+
+
+def resolve_parallel_episodes(requested: int, n_iterations: int) -> int:
+    """--eval_parallel_episodes semantics: 0 = auto (lockstep-batch up to 8
+    episodes — one compiled call serves all of them per env step), N>0 =
+    exactly N.  Auto makes the fast batched rollout the out-of-the-box
+    behaviour (VERDICT.md round-2 item #6) while never exceeding the episode
+    count."""
+    if requested and requested > 0:
+        return min(requested, max(n_iterations, 1))
+    return min(max(n_iterations, 1), 8)

@@ -153,13 +153,19 @@ class Trainer:
             self.init_state()
         # train only the REMAINING steps (exact-resume contract: a run
         # resumed at step N finishes at training_steps, not N+training_steps)
-        iters = max(
-            0, (self.args.training_steps - self.steps)
-        ) // self.args.log_eval_freq
+        remaining = max(0, self.args.training_steps - self.steps)
+        iters, tail = divmod(remaining, self.args.log_eval_freq)
         try:
             for i in range(iters):
                 logs = self.train_iteration(self.args.log_eval_freq, i)
                 self.logger.log(logs, step=self.steps, header=f"Iteration {i}")
+            if tail:
+                # run the remainder when training_steps isn't a multiple of
+                # log_eval_freq instead of silently dropping those steps
+                logs = self.train_iteration(tail, iters)
+                self.logger.log(
+                    logs, step=self.steps, header=f"Iteration {iters}"
+                )
             if self.args.save_model and self.args.save_mode == "last":
                 save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
         except BaseException:
@@ -287,7 +293,13 @@ class Trainer:
 
     def train_step(self):
         logs: Dict = {}
-        logs["training/learning_rate"] = self.ctx.current_lr(self.steps)
+        # the cosine schedule advances per OPTIMIZER step: under gradient
+        # accumulation optax.MultiSteps applies the inner update every k-th
+        # micro step, so log the LR the update actually uses
+        accum = max(1, self.args.gradient_accumulation_steps)
+        logs["training/learning_rate"] = self.ctx.current_lr(
+            max(0, self.steps - 1) // accum
+        )
         t0 = time.time()
         batch = self.build_batch(self._next_arrays())
         logs["time/sample_batch"] = time.time() - t0
@@ -376,13 +388,18 @@ class Trainer:
         for task in self.tasks:
             if isinstance(task, ControlTask):
                 if self.args.eval_episodes > 0:
+                    from neko_tpu.training.arguments import (
+                        resolve_parallel_episodes,
+                    )
+
                     m = task.evaluate(
                         gen,
                         n_iterations=self.args.eval_episodes,
                         deterministic=self.deterministic,
                         promptless_eval=self.args.promptless_eval,
-                        parallel_episodes=getattr(
-                            self.args, "eval_parallel_episodes", 1
+                        parallel_episodes=resolve_parallel_episodes(
+                            getattr(self.args, "eval_parallel_episodes", 0),
+                            self.args.eval_episodes,
                         ),
                     )
                     for k, v in m.items():

@@ -158,6 +158,35 @@ def test_session_batched_matches_serial():
             )
 
 
+def test_ring_text_generation_overflow():
+    """Sliding-window text generation: the ring decode must (a) run as ONE
+    scan instead of per-token re-prefills, (b) match the exact re-prefill
+    path token-for-token until the window first wraps, and (c) keep emitting
+    in-range tokens far past the wrap."""
+    gen = make_generator(seed=5)
+    ts = CFG.token_space
+    rng = np.random.RandomState(5)
+    S = CFG.context_len
+    prompt = {"text": list(rng.randint(1, ts.text_tokens, size=S - 8))}
+    max_new = 20  # prompt(28) + sep(1) + 20 > 35: overflows
+
+    toks_ring, _ = gen.generate(
+        prompt, max_new_tokens=max_new, start=ts.start("text"),
+        end=ts.end("text"), deterministic=True,
+    )
+    toks_exact, _ = gen.generate(
+        prompt, max_new_tokens=max_new, start=ts.start("text"),
+        end=ts.end("text"), deterministic=True, exact_window=True,
+    )
+    prompt_len = len(prompt["text"]) + 1  # + separator
+    pre_wrap = S - prompt_len
+    np.testing.assert_array_equal(
+        toks_ring[:pre_wrap], toks_exact[:pre_wrap]
+    )
+    assert ((toks_ring >= ts.start("text")) & (toks_ring <= ts.end("text"))).all()
+    assert len(toks_ring) == max_new
+
+
 def test_evaluate_with_rollout_cache_end_to_end():
     """ControlTask.evaluate(rollout_cache=True) runs prompted + promptless,
     serial + parallel, and promptless short-horizon metrics match the

@@ -213,13 +213,16 @@ def test_generate_batch_matches_serial():
         np.testing.assert_allclose(bl[i], sl, atol=3e-5)
 
 
-def test_generate_batch_overflow_raises():
+def test_generate_batch_overflow_rings():
+    """Context overflow no longer raises: the decode rings over the cache
+    (sliding-window key set) and returns the full token count."""
     gen = make_generator()
-    with pytest.raises(ValueError, match="overflow"):
-        gen.generate_batch(
-            [{"text": list(range(1, CFG.context_len - 2))}],
-            max_new_tokens=10, start=0, end=10,
-        )
+    toks, windows = gen.generate_batch(
+        [{"text": list(range(1, CFG.context_len - 2))}],
+        max_new_tokens=10, start=0, end=10,
+    )
+    assert toks.shape == (1, 10)
+    assert ((toks >= 0) & (toks <= 10)).all()
 
 
 def test_control_parallel_eval_matches_structure():

@@ -117,3 +117,47 @@ def test_patch_budget_with_image_control(tmp_path):
     assert tr.patch_budget == 256
     arrays = tr.sample_arrays()
     assert arrays["patches"].shape[0] == 256
+
+
+def test_remainder_steps_not_dropped(tmp_path):
+    """training_steps not divisible by log_eval_freq: the tail still runs
+    (VERDICT.md round-2 trainer polish)."""
+    tr = make_trainer(tmp_path, training_steps=5, log_eval_freq=2)
+    tr.train()
+    assert tr.steps == 5
+    assert int(tr.state.step) == 5
+
+
+def test_lr_logged_from_optimizer_step(tmp_path):
+    """Under gradient accumulation the schedule advances per OPTIMIZER step;
+    the logged LR must match the step the update actually uses."""
+    tr = make_trainer(
+        tmp_path, gradient_accumulation_steps=2, training_steps=4,
+        log_eval_freq=4, warmup_steps=4,
+    )
+    tr.init_state()
+    lrs = []
+    for _ in range(4):
+        tr.steps += 1
+        _, logs = tr.train_step()
+        lrs.append(logs["training/learning_rate"])
+    # micro-steps 1,2 -> optimizer step 0; micro-steps 3,4 -> optimizer step 1
+    assert lrs[0] == lrs[1] == tr.ctx.current_lr(0)
+    assert lrs[2] == lrs[3] == tr.ctx.current_lr(1)
+    assert lrs[2] != lrs[0]
+
+
+def test_multihost_flag_calls_distributed_initialize(tmp_path, monkeypatch):
+    """--multihost must call jax.distributed.initialize() before first
+    device use (cli/build.py::select_platform)."""
+    from neko_tpu.cli.build import select_platform
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: calls.append(1)
+    )
+    select_platform(make_args(tmp_path, multihost=True))
+    assert len(calls) == 1
+
+    select_platform(make_args(tmp_path, multihost=False))
+    assert len(calls) == 1  # not called without --multihost
