@@ -1,9 +1,12 @@
 """Dataset download utilities.
 
 The reference ships `gato/data/download_custom_datasets.py` which gdown-fetches
-the pre-converted MuJoCo expert Minari datasets (d4rl_{halfcheetah,hopper,
-walker2d}-expert-v2) into ~/.minari/datasets.  This module provides the same
-capability without the gdown dependency, plus a converter from any loaded
+its pre-converted MuJoCo expert Minari datasets (d4rl_{halfcheetah,hopper,
+walker2d}-expert-v2) from per-dataset Google Drive folders into
+~/.minari/datasets (download_custom_datasets.py:4-26).  These are CUSTOM
+uploads — Minari's own remote registry does not host them — so this module
+reproduces the same Drive fetch (import-gated on gdown), falls back to the
+Minari registry for names it does host, and adds a converter from any loaded
 Minari dataset into the framework's portable HDF5 episode layout
 (neko_tpu/data/episodes.py) so datasets can be staged onto TPU VMs that do
 not have Minari installed.
@@ -19,17 +22,18 @@ import argparse
 import os
 from typing import List, Optional
 
-# Google Drive folder the reference pulls from
-# (/root/reference/gato/data/download_custom_datasets.py:4-26)
-REFERENCE_DRIVE_FOLDER = (
-    "https://drive.google.com/drive/folders/1Qd1hb_YCSnWkyLOfPyn2mGIbGnNx9aA0"
-)
+# The reference's per-dataset Google Drive folders
+# (/root/reference/gato/data/download_custom_datasets.py:4-9).
+CUSTOM_DATASET_URLS = {
+    "d4rl_halfcheetah-expert-v2":
+        "https://drive.google.com/drive/folders/1YcUMTS7cMrUP8KJ6aQL87D9uYnrvGT02?usp=drive_link",
+    "d4rl_hopper-expert-v2":
+        "https://drive.google.com/drive/folders/1upUt_aCRc3MCWhfVwpDlnW7YoVFEHre9?usp=drive_link",
+    "d4rl_walker2d-expert-v2":
+        "https://drive.google.com/drive/folders/1ncu2DEhADWQBH6EeU_SrywQm8ETMM15M?usp=drive_link",
+}
 
-CUSTOM_DATASETS = [
-    "d4rl_halfcheetah-expert-v2",
-    "d4rl_hopper-expert-v2",
-    "d4rl_walker2d-expert-v2",
-]
+CUSTOM_DATASETS = list(CUSTOM_DATASET_URLS)
 
 
 def minari_root() -> str:
@@ -37,6 +41,44 @@ def minari_root() -> str:
         "MINARI_DATASETS_PATH",
         os.path.join(os.path.expanduser("~"), ".minari", "datasets"),
     )
+
+
+def dataset_path(name: str) -> str:
+    return os.path.join(minari_root(), name)
+
+
+def download_drive_folder(name: str, url: str, target: str) -> None:
+    """Fetch one pre-converted dataset folder from Google Drive, matching the
+    reference's gdown.download_folder call (download_custom_datasets.py:26)."""
+    try:
+        import gdown
+    except ImportError as e:
+        raise ImportError(
+            "gdown is required to fetch the reference's custom Drive "
+            f"datasets; `pip install gdown`, or download {url} manually "
+            f"into {target}, or stage an HDF5 episode file instead "
+            "(see neko_tpu/data/episodes.py)."
+        ) from e
+    os.makedirs(os.path.dirname(target), exist_ok=True)
+    gdown.download_folder(url=url, output=target, quiet=False, use_cookies=False)
+
+
+def download(dataset_names: List[str]) -> None:
+    """Fetch datasets into the Minari root.
+
+    Per dataset: skip if already present; fetch the reference's custom
+    uploads from their Drive folders; otherwise fall back to Minari's remote
+    registry."""
+    for name in dataset_names:
+        target = dataset_path(name)
+        if os.path.exists(target):
+            print(f"{name} already exists at {target}, skipping")
+            continue
+        if name in CUSTOM_DATASET_URLS:
+            print(f"downloading {name} from the reference Drive folder...")
+            download_drive_folder(name, CUSTOM_DATASET_URLS[name], target)
+        else:
+            download_minari([name])
 
 
 def download_minari(dataset_names: List[str]) -> None:
@@ -73,15 +115,7 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--to_h5", type=str, default=None,
                    help="also export to portable HDF5 episode files here")
     args = p.parse_args(argv)
-    try:
-        download_minari(args.datasets)
-    except ImportError:
-        raise SystemExit(
-            "minari is not installed; the reference's pre-converted datasets "
-            f"live at {REFERENCE_DRIVE_FOLDER} — download manually into "
-            f"{minari_root()} or use HDF5 episode files "
-            "(see neko_tpu/data/episodes.py)."
-        )
+    download(args.datasets)
     if args.to_h5:
         export_to_h5(args.datasets, args.to_h5)
 

@@ -152,3 +152,10 @@ class TypedArgumentParser(argparse.ArgumentParser):
     def parse_json_file(self, path: str, allow_extra_keys: bool = True):
         with open(path) as fh:
             return self.parse_dict(json.load(fh), allow_extra_keys)
+
+    def parse_yaml_file(self, path: str, allow_extra_keys: bool = True):
+        """YAML config -> dataclasses (reference typed_argparser.py:407-423)."""
+        import yaml
+
+        with open(path) as fh:
+            return self.parse_dict(yaml.safe_load(fh), allow_extra_keys)

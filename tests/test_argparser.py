@@ -85,6 +85,19 @@ def test_parse_dict_and_json(tmp_path):
     assert out.name == "z"
 
 
+def test_parse_yaml(tmp_path):
+    """parse_yaml_file (reference typed_argparser.py:407-423)."""
+    p = TypedArgumentParser(Small)
+    yf = tmp_path / "a.yaml"
+    yf.write_text("x: 7\nname: why\nextra: true\n")
+    (out,) = p.parse_yaml_file(str(yf))
+    assert out.x == 7 and out.name == "why"
+    import pytest
+
+    with pytest.raises(ValueError, match="Unknown keys"):
+        p.parse_yaml_file(str(yf), allow_extra_keys=False)
+
+
 def test_training_args_round_trip():
     """The full TrainingArgs surface parses (reference
     test_integration_training_args equivalent)."""
