@@ -5,7 +5,8 @@ Measures the jit-compiled sharded train step on the flagship mixed-modality
 config (text + continuous control + image control, k=1024, bf16) on the real
 accelerator, matching BASELINE.json's metric definition.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline",
+"vs_measured_reference", "vs_reference_same_host", "mfu"}.
 
 vs_baseline: the reference (ManifoldRG/NEKO, PyTorch) publishes no numbers
 (BASELINE.md).  The north star is >=3x PyTorch-GPU tokens/sec/chip; we use a
@@ -16,14 +17,58 @@ estimate 25k tokens/sec/chip (generous to the reference: pure-compute GPT-2
 768d/6L fwd+bwd at bs16/k1024 on A100 with its eager per-example packing
 measured at 0.5-0.8s/step in similar setups).  vs_baseline = value / 25_000.
 The 3x north-star target is therefore vs_baseline >= 3.0.
+
+vs_measured_reference: the ratio against the ACTUAL reference MEASURED by
+tools/measure_reference_baseline.py (BASELINE_MEASURED.json) — the real
+GatoPolicy run end to end on this host.  Torch here is CPU-only, so this is
+TPU-chip vs host-CPU; the hardware context is recorded in the JSON it reads.
+vs_reference_same_host removes the hardware skew: neko-tpu measured on the
+SAME host CPU (tools/measure_self_cpu.py, SELF_MEASURED_CPU.json) divided by
+the measured reference — identical silicon, the framework is the only
+variable.
+
+mfu: model FLOPs utilization — (tokens/sec x train FLOPs/token) / chip peak
+bf16 FLOPs.  FLOPs/token = 6*N_body + 12*L*D*S + head matmul scaled by the
+target fraction (the fused gathered-CE head only projects target positions).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 REFERENCE_TOKENS_PER_SEC_PER_CHIP = 25_000.0
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+# bf16 peak FLOP/s per chip by jax device_kind
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v5": 459e12,        # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,   # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+
+
+def train_flops_per_token(cfg, target_fraction: float) -> float:
+    """PaLM-convention training FLOPs per token (no causal discount):
+    6 x matmul params touched per token + 12*L*D*S attention score/value
+    FLOPs.  The vocab head counts only at target positions (gathered CE)."""
+    D, L, S = cfg.embed_dim, cfg.layers, cfg.context_len
+    body_params = L * 12 * D * D          # qkv(3D^2) + proj(D^2) + mlp(8D^2)
+    head_params = D * cfg.padded_vocab_size * target_fraction
+    return 6.0 * (body_params + head_params) + 12.0 * L * D * S
+
+
+def _load_json(name):
+    path = os.path.join(REPO, name)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def _configure_jax():
@@ -32,6 +77,21 @@ def _configure_jax():
     # hardware PRNG for dropout masks (the framework's production default,
     # --rng_impl=unsafe_rbg): threefry costs ~12 ms/step at this config
     jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+
+def tgt_budget(batch_size, cfg) -> int:
+    """Loss-target budget of the bench mixture (mirrors build_batch)."""
+    ctx_ts_cont = cfg.context_len // (8 + 2 + 1)
+    ctx_ts_img = cfg.context_len // 38
+    n_img = sum(1 for i in range(batch_size) if i % 3 == 2)
+    n_txt = sum(1 for i in range(batch_size) if i % 3 == 0)
+    n_cont = batch_size - n_img - n_txt
+    t = (
+        n_txt * (cfg.context_len - 1)
+        + n_cont * ctx_ts_cont * 2
+        + n_img * ctx_ts_img * 1
+    )
+    return -(-t // 256) * 256
 
 
 def build_batch(packer, cfg, batch_size, seed=0):
@@ -66,17 +126,9 @@ def build_batch(packer, cfg, batch_size, seed=0):
     # exact-count global patch pool + loss-target budget (what the Trainer
     # computes per mixture)
     n_img = sum(1 for i in range(batch_size) if i % 3 == 2)
-    n_txt = sum(1 for i in range(batch_size) if i % 3 == 0)
-    n_cont = batch_size - n_img - n_txt
     budget = -(-(n_img * ctx_ts_img * 36) // 256) * 256
-    tgt_budget = (
-        n_txt * (cfg.context_len - 1)
-        + n_cont * ctx_ts_cont * 2
-        + n_img * ctx_ts_img * 1
-    )
-    tgt_budget = -(-tgt_budget // 256) * 256
     arrays = packer.pack_batch(
-        examples, patch_budget=budget, target_budget=tgt_budget
+        examples, patch_budget=budget, target_budget=tgt_budget(batch_size, cfg)
     )
     arrays.pop("lengths")
     return arrays
@@ -136,16 +188,43 @@ def main():
     tokens_per_sec = tokens_per_step * n_steps / dt
     per_chip = tokens_per_sec / n_dev
 
-    print(
-        json.dumps(
-            {
-                "metric": "multimodal_train_tokens_per_sec_per_chip_768d6L",
-                "value": round(per_chip, 1),
-                "unit": "tokens/sec/chip",
-                "vs_baseline": round(per_chip / REFERENCE_TOKENS_PER_SEC_PER_CHIP, 3),
-            }
+    out = {
+        "metric": "multimodal_train_tokens_per_sec_per_chip_768d6L",
+        "value": round(per_chip, 1),
+        "unit": "tokens/sec/chip",
+        "vs_baseline": round(per_chip / REFERENCE_TOKENS_PER_SEC_PER_CHIP, 3),
+    }
+
+    # measured-reference comparisons (tools/measure_reference_baseline.py /
+    # tools/measure_self_cpu.py; see module docstring for hardware context)
+    ref = _load_json("BASELINE_MEASURED.json")
+    if ref:
+        out["vs_measured_reference"] = round(
+            per_chip / ref["reference_tokens_per_sec"], 1
         )
-    )
+        out["measured_reference_tokens_per_sec"] = ref[
+            "reference_tokens_per_sec"
+        ]
+        out["measured_reference_hw"] = (
+            f"{ref['hardware']['device']} x{ref['hardware'].get('cpu_count', '?')}"
+        )
+        self_cpu = _load_json("SELF_MEASURED_CPU.json")
+        if self_cpu:
+            out["vs_reference_same_host"] = round(
+                self_cpu["self_cpu_tokens_per_sec"]
+                / ref["reference_tokens_per_sec"],
+                2,
+            )
+
+    # MFU vs chip peak
+    target_fraction = tgt_budget(batch_size, cfg) / tokens_per_step
+    fpt = train_flops_per_token(cfg, target_fraction)
+    peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    if peak:
+        out["mfu"] = round(per_chip * fpt / peak, 4)
+        out["flops_per_token"] = round(fpt / 1e6, 1)  # MFLOPs/token
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -93,9 +93,11 @@ def _flash_local(q, k, v, key_mask, sm_scale):
 
 
 def _active_mesh():
-    from jax.interpreters import pxla
+    # the `with mesh:` context manager sets thread-local resources; the old
+    # public accessor (jax.interpreters.pxla.thread_resources) is deprecated
+    from jax._src import mesh as mesh_lib
 
-    mesh = pxla.thread_resources.env.physical_mesh
+    mesh = mesh_lib.thread_resources.env.physical_mesh
     if mesh is None or mesh.empty:
         return None
     return mesh
@@ -150,7 +152,7 @@ def tpu_flash_attention(q, k, v, key_mask, *, dropout_seed=None, dropout_rate=0.
             q, k, v, key_mask, dropout_seed, sm_scale, dropout_rate
         )
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     axes = tuple(mesh.axis_names)
     fn = shard_map(
@@ -167,7 +169,7 @@ def tpu_flash_attention(q, k, v, key_mask, *, dropout_seed=None, dropout_rate=0.
             P(),
         ),
         out_specs=P("data", "model", None, None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, key_mask, dropout_seed)
 
@@ -191,7 +193,7 @@ def sequence_parallel_attention(
     heads on 'model', sequence blocks rotating around the 'seq' ring
     (ops/ring_attention.py).  The long-context training path — per-device
     attention memory is O((S/seq)^2) instead of O(S^2)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from neko_tpu.ops.ring_attention import ring_attention
 
@@ -223,6 +225,6 @@ def sequence_parallel_attention(
             P(),
         ),
         out_specs=P("data", "model", "seq", None),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, key_mask, dropout_key)

@@ -146,7 +146,7 @@ def sequence_sharded_attention(
 ):
     """Convenience wrapper: shard [B, H, S, hd] arrays over `axis_name` of
     `mesh` and run ring attention."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     spec = P(None, None, axis_name, None)
@@ -162,6 +162,6 @@ def sequence_sharded_attention(
         mesh=mesh,
         in_specs=(spec, spec, spec, P(None, axis_name), P()),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )
     return fn(q, k, v, key_mask, dropout_key)
