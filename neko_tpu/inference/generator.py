@@ -41,11 +41,19 @@ from neko_tpu.tokenizers.continuous import decode_np
 
 
 class Generator:
-    def __init__(self, model: NekoModel, params, packer: Optional[SequencePacker] = None, seed: int = 0):
+    def __init__(
+        self,
+        model: NekoModel,
+        params,
+        packer: Optional[SequencePacker] = None,
+        seed: int = 0,
+        cast_params: bool = True,
+    ):
         self.model = model
         self.cfg = model.cfg
-        self.params = params
+        self._cast = cast_params
         self.packer = packer or SequencePacker(model.cfg)
+        self.set_params(params)
         # persistent sampling stream: callers that pass rng=None still get
         # fresh draws on every call (a fixed default key would make
         # 'stochastic' evaluation deterministic across calls)
@@ -77,6 +85,30 @@ class Generator:
                 "sel_start", "sel_end", "deterministic",
             ),
             donate_argnames=("cache",),
+        )
+
+    def set_params(self, params) -> None:
+        """Install (freshly trained) weights, applying the inference cast."""
+        self.params = self._maybe_cast(params) if self._cast else params
+
+    def _maybe_cast(self, params):
+        """Inference-only weight cast to the activation dtype.
+
+        Training keeps fp32 master weights; flax then casts them to bf16 on
+        EVERY matmul, so a decode step re-reads the full fp32 tables from
+        HBM.  Decode is HBM-bandwidth-bound — serving from a bf16 copy
+        halves the weight traffic per generated token.  No-op when the
+        config's activation dtype is fp32 (all parity tests)."""
+        import jax.numpy as jnp
+
+        dtype = self.cfg.activation_dtype
+        if dtype == jnp.float32:
+            return params
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            params,
         )
 
     # ------------------------------------------------------------ jit impls

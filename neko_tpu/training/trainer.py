@@ -376,7 +376,7 @@ class Trainer:
             self._generator = Generator(
                 self.ctx.model, self.state.params, self.packer
             )
-        self._generator.params = self.state.params
+        self._generator.set_params(self.state.params)
         gen = self._generator
         self._sample_lock.acquire()
         try:

@@ -8,6 +8,7 @@ Writes SELF_MEASURED_CPU.json; bench.py combines it with
 BASELINE_MEASURED.json into `vs_reference_same_host`.
 """
 
+import argparse
 import json
 import os
 import time
@@ -17,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 STEPS = 3
 
 
-def main():
+def main(dtype: str = "float32"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -39,7 +40,7 @@ def main():
     ctx_ts_img = 1024 // 38
     cfg = ModelConfig(
         embed_dim=768, layers=6, heads=24, dropout=0.1, context_len=1024,
-        max_patches=ctx_ts_img * 36, dtype="bfloat16",
+        max_patches=ctx_ts_img * 36, dtype=dtype,
     )
     opt = OptimizerConfig(
         learning_rate=1e-4, init_lr=1e-7, warmup_steps=100,
@@ -67,7 +68,8 @@ def main():
         "seconds_per_step": round(dt / STEPS, 3),
         "steps_measured": STEPS,
         "config": {"embed_dim": 768, "layers": 6, "heads": 24,
-                   "context_len": 1024, "batch_size": batch_size},
+                   "context_len": 1024, "batch_size": batch_size,
+                   "dtype": dtype},
         "hardware": {"device": "cpu", "cpu_count": os.cpu_count()},
     }
     with open(os.path.join(REPO, "SELF_MEASURED_CPU.json"), "w") as f:
@@ -77,4 +79,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    # fp32 default: precision-matched to the torch-fp32 reference run
+    # (bf16 is emulated on CPU and would handicap the XLA side)
+    ap.add_argument("--dtype", default="float32")
+    main(ap.parse_args().dtype)
