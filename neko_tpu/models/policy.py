@@ -35,6 +35,7 @@ from neko_tpu.config import ModelConfig
 from neko_tpu.data.batch import PackedBatch
 from neko_tpu.models.embeddings import ImagePatchEmbedding
 from neko_tpu.models.transformer import Transformer
+from neko_tpu.ops.dropout import Dropout
 
 _INIT = nn.initializers.normal(stddev=0.02)
 
@@ -100,7 +101,7 @@ class NekoModel(nn.Module):
                 param_dtype=cfg.params_dtype,
                 name="pos_embed_observation",
             )
-        self.embed_dropout = nn.Dropout(cfg.dropout)
+        self.embed_dropout = Dropout(cfg.dropout)
         self.transformer = Transformer(cfg, name="transformer")
         self.predict_token = LMHead(
             in_features=cfg.embed_dim,

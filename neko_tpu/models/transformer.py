@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from neko_tpu.config import ModelConfig
+from neko_tpu.ops.dropout import Dropout
 
 _INIT = nn.initializers.normal(stddev=0.02)
 _BIG_NEG = -1e9
@@ -55,6 +56,47 @@ def _dot_product_attention(q, k, v, bias, dropout_rng, dropout_rate, determinist
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+class SplitProj(nn.Module):
+    """Fused-parameter, split-output projection: one [D, n*features] kernel
+    (param-compatible with `nn.Dense(n*features)` — same path, shape, init)
+    applied as n separate slice-matmuls so each output lands as its own
+    [B, S, features] array.
+
+    Why: the train path feeds attention q/k/v to a head-packed Pallas kernel
+    that blocks along the minor dim.  Producing q/k/v as separate matmul
+    outputs (instead of one [B,S,3D] array + split + transpose) removes every
+    relayout copy from the attention fwd AND bwd — autodiff of the weight
+    slices writes disjoint ranges of one dW buffer, no concat."""
+
+    features: int
+    n: int = 3
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = _INIT
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        F, n = self.features, self.n
+        kernel = self.param(
+            "kernel", self.kernel_init, (x.shape[-1], n * F), self.param_dtype
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (n * F,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
+        outs = []
+        for j in range(n):
+            y = xd @ kd[:, j * F:(j + 1) * F]
+            if bias is not None:
+                y = y + bias[j * F:(j + 1) * F].astype(self.dtype)
+            outs.append(y)
+        return tuple(outs)
+
+
 class Attention(nn.Module):
     cfg: ModelConfig
 
@@ -74,8 +116,8 @@ class Attention(nn.Module):
         H, hd = cfg.heads, cfg.head_dim
         dtype = cfg.activation_dtype
 
-        qkv = nn.Dense(
-            3 * D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
+        q2, k2, v2 = SplitProj(
+            D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
             name="c_attn",
         )(x)
         if cfg.lora_r > 0:
@@ -87,15 +129,47 @@ class Attention(nn.Module):
                 dtype=dtype, param_dtype=cfg.params_dtype, name="lora_a",
             )(x)
             a = nn.Dropout(cfg.lora_dropout, deterministic=deterministic)(a)
-            delta = nn.Dense(
-                3 * D, use_bias=False, kernel_init=nn.initializers.zeros,
+            dq, dk, dv = SplitProj(
+                D, use_bias=False, kernel_init=nn.initializers.zeros,
                 dtype=dtype, param_dtype=cfg.params_dtype, name="lora_b",
             )(a)
-            qkv = qkv + delta * (cfg.lora_alpha / cfg.lora_r)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+            s = cfg.lora_alpha / cfg.lora_r
+            q2, k2, v2 = q2 + dq * s, k2 + dk * s, v2 + dv * s
+
+        from neko_tpu.ops import attention as attn_ops
+
+        dropout_active = not deterministic and cfg.dropout > 0.0
+        use_seq_parallel = mode == "train" and attn_ops.seq_shards() > 1
+        use_packed = (
+            mode == "train"
+            and not use_seq_parallel
+            and cfg.attention_impl in ("auto", "flash")
+            and attn_ops.packed_flash_ok(S, hd, H)
+        )
+        if use_packed:
+            # head-packed fast path: q/k/v stay [B, S, D]; the kernel blocks
+            # heads along the minor dim — zero relayout copies fwd and bwd
+            seed = None
+            rate = 0.0
+            if dropout_active:
+                rate = cfg.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+            out = attn_ops.tpu_flash_attention_bsd(
+                q2, k2, v2, input_mask,
+                heads=H, dropout_seed=seed, dropout_rate=rate,
+            )
+            out = nn.Dense(
+                D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
+                name="c_proj",
+            )(out)
+            return Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+        q = q2.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        k = k2.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+        v = v2.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
 
         if mode == "extend":
             # Chunked append into the RING KV cache (rollout cache): K new
@@ -181,10 +255,6 @@ class Attention(nn.Module):
                 cm = self.variable("cache", "mask", lambda: input_mask)
                 ck.value, cv.value, cm.value = k, v, input_mask
 
-            from neko_tpu.ops import attention as attn_ops
-
-            dropout_active = not deterministic and cfg.dropout > 0.0
-            use_seq_parallel = mode == "train" and attn_ops.seq_shards() > 1
             use_flash = (
                 not use_seq_parallel
                 and cfg.attention_impl in ("auto", "flash")
@@ -233,7 +303,7 @@ class Attention(nn.Module):
             D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
             name="c_proj",
         )(out)
-        out = nn.Dropout(cfg.dropout, deterministic=deterministic)(out)
+        out = Dropout(cfg.dropout)(out, deterministic=deterministic)
         return out
 
 
@@ -262,7 +332,7 @@ class MLP(nn.Module):
             cfg.embed_dim, kernel_init=_INIT, dtype=dtype,
             param_dtype=cfg.params_dtype, name="c_proj",
         )(h)
-        return nn.Dropout(cfg.dropout, deterministic=deterministic)(h)
+        return Dropout(cfg.dropout)(h, deterministic=deterministic)
 
 
 class Block(nn.Module):

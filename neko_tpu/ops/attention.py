@@ -128,6 +128,81 @@ def _kernel_local(q, k, v, key_mask, seed, sm_scale, dropout_rate, axes=()):
     return _flash_local(q, k, v, key_mask, sm_scale)
 
 
+def packed_flash_ok(S: int, hd: int, heads: int) -> bool:
+    """True when the head-packed (transpose-free) whole-head kernel serves
+    this shape — the preferred train-mode path."""
+    from neko_tpu.ops import attention_kernel as whk
+
+    return (
+        flash_supported()
+        and whk.supported(S, hd, None)
+        and whk.head_group(heads, hd) > 0
+    )
+
+
+def _kernel_local_bsd(q, k, v, key_mask, seed, *, heads, sm_scale, dropout_rate, axes=()):
+    from neko_tpu.ops import attention_kernel as whk
+
+    start, end = whk.mask_bounds_from_key_mask(key_mask)
+    if dropout_rate > 0.0:
+        for i, name in enumerate(axes):
+            seed = seed + jax.lax.axis_index(name) * (100_003 + i)
+    return whk.whole_head_attention_bsd(
+        q, k, v, start, end, seed,
+        heads=heads, sm_scale=sm_scale, dropout_rate=dropout_rate,
+    )
+
+
+def tpu_flash_attention_bsd(
+    q, k, v, key_mask, *, heads, dropout_seed=None, dropout_rate=0.0
+):
+    """Head-packed whole-head attention: q/k/v and the result stay in
+    [B, S, H*hd] layout end to end (head h at minor columns [h*hd, (h+1)*hd)),
+    so the train path needs NO [B,H,S,hd] relayout copies.  shard_mapped over
+    an active ('data','model') mesh with heads sharded along the minor dim
+    (the same head split as the bhsd path — TP-identical math).
+
+    Caller must check `packed_flash_ok(S, hd)` first."""
+    hd = q.shape[-1] // heads
+    sm_scale = hd ** -0.5
+    if dropout_rate <= 0.0:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
+    mesh = _active_mesh()
+    if mesh is None or mesh.size == 1:
+        return _kernel_local_bsd(
+            q, k, v, key_mask, dropout_seed,
+            heads=heads, sm_scale=sm_scale, dropout_rate=dropout_rate,
+        )
+
+    from jax import shard_map
+
+    model_shards = dict(mesh.shape).get("model", 1)
+    assert heads % model_shards == 0, (
+        f"heads={heads} not divisible by model axis {model_shards}"
+    )
+    axes = tuple(mesh.axis_names)
+    fn = shard_map(
+        functools.partial(
+            _kernel_local_bsd,
+            heads=heads // model_shards,
+            sm_scale=sm_scale,
+            dropout_rate=dropout_rate,
+            axes=axes,
+        ),
+        mesh=mesh,
+        in_specs=(
+            P("data", None, "model"),
+            P("data", None, "model"),
+            P("data", None, "model"),
+            P("data", None),
+            P(),
+        ),
+        out_specs=P("data", None, "model"),
+        check_vma=False,
+    )
+    return fn(q, k, v, key_mask, dropout_seed)
+
+
 def flash_dropout_supported(S: int, hd: int) -> bool:
     """True when the flash path can apply attention-weight dropout (the
     whole-head kernel handles the shape)."""

@@ -14,9 +14,21 @@ for training, right-pad for decode prefill): validity is `pad_start <= col <
 pad_end` per batch row, passed as two scalar-prefetch vectors instead of the
 [B, S] segment-id arrays the generic kernel streams.
 
+Two layouts:
+
+* `whole_head_attention` — classic [B, H, S, hd] arrays, one (batch, head)
+  program per grid cell.  Used by paths that already hold transposed q/k/v
+  (ring attention shards, tests).
+* `whole_head_attention_bsd` — head-packed [B, S, H*hd] arrays: a group of
+  g = 128//hd heads (Pallas wants 128-divisible minor block dims) is blocked
+  straight out of the projection's natural output layout, so the train path
+  never materializes a [B,H,S,hd] transpose.  Eliminating those relayout
+  copies (split + 3x transpose fwd, mirrored bwd) was worth ~9% of the
+  768d/6L train step.
+
 Measured on v5e (B=16, H=24, S=1024, hd=32, bf16) vs the bundled
 jax.experimental flash kernel with tuned 512-blocks:
-fwd+bwd 13.1 ms -> 6.5 ms per layer.
+fwd+bwd 13.1 ms -> 6.5 ms per layer (bhsd), ~5.0 ms head-packed.
 
 Falls back to the generic flash path when S*S*4 would overflow VMEM
 (S > 2048) — see neko_tpu/ops/attention.py for dispatch.
@@ -75,38 +87,25 @@ def _keep_scale(seed, b, h, n_h, S, dropout_rate):
     return keep * (1.0 / (1.0 - dropout_rate))
 
 
-def _fwd_kernel(
-    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
-    *, sm_scale, dropout_rate,
-):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    S = q_ref.shape[-2]
-    q, k, v = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0]
+def _attn_fwd_body(q, k, v, start, end, seed, b, h, n_h, *, sm_scale, dropout_rate):
+    """Shared forward math on a (S, hd) head: masked softmax attention."""
+    S = q.shape[-2]
     scores = _dot(q, k.T) * sm_scale
-    scores = _mask(scores, start_ref[b], end_ref[b], S)
+    scores = _mask(scores, start, end, S)
     p = _softmax(scores)
     if dropout_rate > 0.0:
-        p = p * _keep_scale(
-            seed_ref[0], b, h, pl.num_programs(1), S, dropout_rate
-        )
-    o = _dot(p.astype(q.dtype), v)
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+        p = p * _keep_scale(seed, b, h, n_h, S, dropout_rate)
+    return _dot(p.astype(q.dtype), v)
 
 
-def _bwd_kernel(
-    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
-    dq_ref, dk_ref, dv_ref, *, sm_scale, dropout_rate,
-):
-    b = pl.program_id(0)
-    h = pl.program_id(1)
-    S = q_ref.shape[-2]
-    q, k, v, do = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0]
+def _attn_bwd_body(q, k, v, do, start, end, seed, b, h, n_h, *, sm_scale, dropout_rate):
+    """Shared backward math on a (S, hd) head: recompute p, produce dq/dk/dv."""
+    S = q.shape[-2]
     scores = _dot(q, k.T) * sm_scale
-    scores = _mask(scores, start_ref[b], end_ref[b], S)
+    scores = _mask(scores, start, end, S)
     p = _softmax(scores)
     if dropout_rate > 0.0:
-        ks = _keep_scale(seed_ref[0], b, h, pl.num_programs(1), S, dropout_rate)
+        ks = _keep_scale(seed, b, h, n_h, S, dropout_rate)
         y = p * ks  # dropped+rescaled probabilities actually used: o = y v
     else:
         ks = None
@@ -121,9 +120,76 @@ def _bwd_kernel(
     ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
     dq = _dot(ds, k)
     dk = _dot(ds.T, q)
+    return dq, dk, dv
+
+
+def _fwd_kernel(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
+    *, sm_scale, dropout_rate,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    o = _attn_fwd_body(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0],
+        start_ref[b], end_ref[b], seed_ref[0], b, h, pl.num_programs(1),
+        sm_scale=sm_scale, dropout_rate=dropout_rate,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, sm_scale, dropout_rate,
+):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    dq, dk, dv = _attn_bwd_body(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], do_ref[0, 0],
+        start_ref[b], end_ref[b], seed_ref[0], b, h, pl.num_programs(1),
+        sm_scale=sm_scale, dropout_rate=dropout_rate,
+    )
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _fwd_kernel_bsd(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, o_ref,
+    *, sm_scale, dropout_rate, hd, n_heads,
+):
+    """Head-packed forward: refs hold a (1, S, g*hd) group of g heads; heads
+    are sliced along lanes (Pallas wants 128-divisible minor block dims, so a
+    single hd=32 head can't be its own block)."""
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    g = q_ref.shape[-1] // hd
+    for j in range(g):
+        sl = slice(j * hd, (j + 1) * hd)
+        o = _attn_fwd_body(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl],
+            start_ref[b], end_ref[b], seed_ref[0], b, hg * g + j, n_heads,
+            sm_scale=sm_scale, dropout_rate=dropout_rate,
+        )
+        o_ref[0, :, sl] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_bsd(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+    dq_ref, dk_ref, dv_ref, *, sm_scale, dropout_rate, hd, n_heads,
+):
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    g = q_ref.shape[-1] // hd
+    for j in range(g):
+        sl = slice(j * hd, (j + 1) * hd)
+        dq, dk, dv = _attn_bwd_body(
+            q_ref[0, :, sl], k_ref[0, :, sl], v_ref[0, :, sl], do_ref[0, :, sl],
+            start_ref[b], end_ref[b], seed_ref[0], b, hg * g + j, n_heads,
+            sm_scale=sm_scale, dropout_rate=dropout_rate,
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _specs(B, H, S, hd):
@@ -177,6 +243,127 @@ def _pallas_bwd(q, k, v, do, start, end, seed, sm_scale, dropout_rate):
     )(start, end, seed, q, k, v, do)
 
 
+def head_group(heads: int, hd: int) -> int:
+    """Heads per program for the packed layout: smallest group whose lane
+    width is 128-divisible (Pallas block-minor requirement) or the full row."""
+    D = heads * hd
+    if D <= 128:
+        return heads
+    if 128 % hd != 0:
+        return 0  # unsupported
+    g = 128 // hd
+    return g if heads % g == 0 else 0
+
+
+def _specs_bsd(S, hd, g):
+    """Blocks into head-packed [B, S, H*hd]: a group of g heads (g*hd lanes)
+    per program along the minor dim — no [B,H,S,hd] transpose ever exists."""
+    return pl.BlockSpec(
+        (1, S, g * hd), lambda b, h, *refs: (b, 0, h),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _pallas_fwd_bsd(q, k, v, start, end, seed, heads, sm_scale, dropout_rate):
+    B, S, D = q.shape
+    hd = D // heads
+    g = head_group(heads, hd)
+    assert g > 0, f"unsupported head-packed shape heads={heads} hd={hd}"
+    spec = _specs_bsd(S, hd, g)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, heads // g),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_bsd, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            hd=hd, n_heads=heads,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(start, end, seed, q, k, v)
+
+
+def _pallas_bwd_bsd(q, k, v, do, start, end, seed, heads, sm_scale, dropout_rate):
+    B, S, D = q.shape
+    hd = D // heads
+    g = head_group(heads, hd)
+    assert g > 0, f"unsupported head-packed shape heads={heads} hd={hd}"
+    spec = _specs_bsd(S, hd, g)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, heads // g),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_bsd, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            hd=hd, n_heads=heads,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )(start, end, seed, q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _whole_head_attention_bsd(
+    q, k, v, start, end, seed, heads, sm_scale, dropout_rate
+):
+    return _pallas_fwd_bsd(
+        q, k, v, start, end, seed, heads, sm_scale, dropout_rate
+    )
+
+
+def _vjp_fwd_bsd(q, k, v, start, end, seed, heads, sm_scale, dropout_rate):
+    out = _pallas_fwd_bsd(
+        q, k, v, start, end, seed, heads, sm_scale, dropout_rate
+    )
+    return out, (q, k, v, start, end, seed)
+
+
+def _vjp_bwd_bsd(heads, sm_scale, dropout_rate, res, do):
+    q, k, v, start, end, seed = res
+    dq, dk, dv = _pallas_bwd_bsd(
+        q, k, v, do, start, end, seed, heads, sm_scale, dropout_rate
+    )
+    return dq, dk, dv, None, None, None
+
+
+_whole_head_attention_bsd.defvjp(_vjp_fwd_bsd, _vjp_bwd_bsd)
+
+
+def whole_head_attention_bsd(
+    q, k, v, start, end, seed=None, *, heads, sm_scale=None, dropout_rate=0.0
+):
+    """Head-packed-layout whole-head attention.
+
+    q, k, v: [B, S, H*hd] with head h's features at columns
+    [h*hd, (h+1)*hd) — the natural output layout of a Dense projection — so
+    the kernel blocks along the minor dim and NO [B, H, S, hd] transpose is
+    ever materialized (those relayout copies were ~6% of the 768d/6L train
+    step).  Returns [B, S, H*hd] in the same layout, directly consumable by
+    the output projection.  Masking/dropout semantics are identical to
+    `whole_head_attention` (same per-(batch, head) keep mask).
+    """
+    if sm_scale is None:
+        sm_scale = (q.shape[-1] // heads) ** -0.5
+    if seed is None:
+        assert dropout_rate == 0.0, "dropout requires an explicit seed"
+        seed = jnp.zeros((1,), jnp.int32)
+    return _whole_head_attention_bsd(
+        q, k, v, start, end, seed, heads, sm_scale, dropout_rate
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def whole_head_attention(
     q, k, v, start, end, seed=None, sm_scale=None, dropout_rate=0.0
@@ -200,6 +387,8 @@ def whole_head_attention(
 
 
 def _vjp_fwd(q, k, v, start, end, seed, sm_scale, dropout_rate):
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
     if seed is None:
         assert dropout_rate == 0.0, "dropout requires an explicit seed"
         seed = jnp.zeros((1,), jnp.int32)

@@ -135,6 +135,112 @@ def test_whole_head_dropout_deterministic_and_varies():
     assert np.abs(a - nodrop).max() > 1e-3  # dropout actually perturbs
 
 
+def test_head_group():
+    from neko_tpu.ops.attention_kernel import head_group
+
+    assert head_group(24, 32) == 4    # 4 heads -> 128 lanes
+    assert head_group(4, 32) == 4     # whole row (D == 128)
+    assert head_group(2, 32) == 2     # whole row (D == 64 == full dim)
+    assert head_group(8, 64) == 2
+    assert head_group(8, 128) == 1
+    assert head_group(6, 32) == 0     # 6 % 4 != 0 -> unsupported
+    assert head_group(12, 96) == 0    # 128 % 96 != 0 -> unsupported
+
+
+@requires_tpu
+@pytest.mark.parametrize("pad", ["left", "right", "none"])
+def test_packed_bsd_kernel_matches_xla(pad):
+    """Head-packed [B,S,H*hd] layout == XLA attention (fwd + grads)."""
+    from neko_tpu.ops.attention import tpu_flash_attention_bsd
+
+    B, H, S, hd = 4, 8, 256, 32
+    D = H * hd
+    rng = np.random.RandomState(4)
+    q2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    k2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    v2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    mask = np.ones((B, S), bool)
+    if pad == "left":
+        mask[:2, :50] = False
+    elif pad == "right":
+        mask[:2, 200:] = False
+    km = jnp.asarray(mask)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def to_bhsd(x):
+        return x.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+    def to_bsd(x):
+        return x.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+    def ref(q2, k2, v2):
+        return to_bsd(xla_attention(to_bhsd(q2), to_bhsd(k2), to_bhsd(v2), km))
+
+    def new(q2, k2, v2):
+        return tpu_flash_attention_bsd(q2, k2, v2, km, heads=H)
+
+    with jax.default_matmul_precision("default"):
+        a = jax.jit(ref)(q2, k2, v2)
+    b = jax.jit(new)(q2, k2, v2)
+    np.testing.assert_allclose(
+        np.asarray(a * w), np.asarray(b * w), atol=2e-3
+    )
+
+    gb = jax.jit(jax.grad(
+        lambda q2, k2, v2: ((new(q2, k2, v2) * w) ** 2).sum(), argnums=(0, 1, 2)
+    ))(q2, k2, v2)
+    with jax.default_matmul_precision("default"):
+        ga = jax.jit(jax.grad(
+            lambda q2, k2, v2: ((ref(q2, k2, v2) * w) ** 2).sum(),
+            argnums=(0, 1, 2),
+        ))(q2, k2, v2)
+    for x, y in zip(ga, gb):
+        scale_ref = np.abs(np.asarray(x)).max()
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), atol=3e-3 * max(scale_ref, 1.0)
+        )
+
+
+@requires_tpu
+def test_packed_bsd_dropout_matches_bhsd_layout():
+    """Same seed -> the SAME per-(batch,head) keep mask in both layouts, so
+    the two kernels must agree element for element under dropout."""
+    from neko_tpu.ops.attention_kernel import (
+        mask_bounds_from_key_mask,
+        whole_head_attention,
+        whole_head_attention_bsd,
+    )
+
+    B, H, S, hd = 2, 8, 256, 32
+    D = H * hd
+    rate = 0.3
+    rng = np.random.RandomState(5)
+    q2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    k2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    v2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    km = jnp.ones((B, S), bool)
+    start, end = mask_bounds_from_key_mask(km)
+    seed = jnp.asarray([13], jnp.int32)
+    scale = hd ** -0.5
+
+    def to_bhsd(x):
+        return x.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+    def to_bsd(x):
+        return x.transpose(0, 2, 1, 3).reshape(B, S, D)
+
+    old = jax.jit(lambda: to_bsd(whole_head_attention(
+        to_bhsd(q2), to_bhsd(k2), to_bhsd(v2), start, end, seed, scale, rate
+    )))()
+    new = jax.jit(lambda: whole_head_attention_bsd(
+        q2, k2, v2, start, end, seed, heads=H, sm_scale=scale,
+        dropout_rate=rate,
+    ))()
+    np.testing.assert_allclose(
+        np.asarray(old), np.asarray(new), atol=2e-3
+    )
+
+
 @requires_tpu
 def test_whole_head_dropout_fwd_bwd_match_xla_with_same_mask():
     """The kernel's dropout fwd AND custom-VJP bwd must equal an XLA
