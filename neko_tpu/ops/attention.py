@@ -129,25 +129,32 @@ def _kernel_local(q, k, v, key_mask, seed, sm_scale, dropout_rate, axes=()):
 
 
 def packed_flash_ok(S: int, hd: int, heads: int) -> bool:
-    """True when the head-packed (transpose-free) whole-head kernel serves
-    this shape — the preferred train-mode path."""
+    """True when a head-packed (transpose-free) kernel serves this shape —
+    the preferred train-mode path.  S <= 1024 uses the whole-head kernel;
+    longer sequences the blocked flash kernel (both with dropout support)."""
     from neko_tpu.ops import attention_kernel as whk
+    from neko_tpu.ops import blocked_attention as blk
 
-    return (
-        flash_supported()
-        and whk.supported(S, hd, None)
-        and whk.head_group(heads, hd) > 0
-    )
+    if not flash_supported() or whk.head_group(heads, hd) <= 0:
+        return False
+    return whk.supported(S, hd, None) or blk.supported(S, hd, heads)
 
 
 def _kernel_local_bsd(q, k, v, key_mask, seed, *, heads, sm_scale, dropout_rate, axes=()):
     from neko_tpu.ops import attention_kernel as whk
+    from neko_tpu.ops import blocked_attention as blk
 
     start, end = whk.mask_bounds_from_key_mask(key_mask)
     if dropout_rate > 0.0:
         for i, name in enumerate(axes):
             seed = seed + jax.lax.axis_index(name) * (100_003 + i)
-    return whk.whole_head_attention_bsd(
+    S, hd = q.shape[1], q.shape[-1] // heads
+    if whk.supported(S, hd, q.dtype):
+        return whk.whole_head_attention_bsd(
+            q, k, v, start, end, seed,
+            heads=heads, sm_scale=sm_scale, dropout_rate=dropout_rate,
+        )
+    return blk.blocked_attention_bsd(
         q, k, v, start, end, seed,
         heads=heads, sm_scale=sm_scale, dropout_rate=dropout_rate,
     )

@@ -1,0 +1,492 @@
+"""Blocked flash attention (online softmax) with on-chip PRNG dropout.
+
+Long-context companion to the whole-head kernel (ops/attention_kernel.py):
+for S <= 1024 a head's full score matrix fits VMEM and the whole-head kernel
+wins; beyond that this kernel tiles queries into Bq-row blocks and streams
+key/value blocks with the classic flash-attention running (m, l, acc)
+update, so per-program VMEM is O(Bq*Bk + S*hd) instead of O(S^2).  Unlike
+the bundled jax.experimental flash kernel, it applies attention-weight
+dropout (reference semantics: trajectory_gpt2.py:179,249) — the keep mask is
+regenerated from the on-chip PRNG per (batch, head, q-block, k-block), so
+the backward kernels reproduce the forward's mask exactly in any loop order.
+
+Layout is head-packed [B, S, H*hd] (see whole_head_attention_bsd): heads are
+blocked in groups of g = 128//hd along the minor dim straight out of the qkv
+projection, no [B,H,S,hd] transpose exists.
+
+Masking: causal + contiguous key validity [start, end) per batch row
+(scalar-prefetched), matching the packer's contiguous-padding guarantee.
+
+Backward follows the standard three-pass flash scheme: the forward saves the
+row stats m (running max) and l (softmax normalizer); delta = rowsum(do * o)
+is computed in XLA; one kernel produces dq (loop over k blocks), another
+dk/dv (loop over q blocks).  Dropout is applied to the UNNORMALIZED
+exp(s - m) — the normalizer l deliberately excludes the keep mask, which is
+exactly `softmax(s) * keep/keep_prob`, the whole-head kernel's (and the
+reference's) semantics.
+
+FLOPs skip the strictly-upper-triangular blocks (dynamic fori_loop bounds),
+~2x at large S.
+
+Measured on v5e (B=8, H=24, S=2048, hd=32, bf16): fwd+bwd 14.6 ms vs the
+bundled jax.experimental flash kernel's 19.9 ms (which has no dropout and
+needs the [B,H,S,hd] transposes this layout avoids).  Net effect at model
+level: a 768d/6L k=2048 bs8 train step with dropout 0.1 runs at 97.5k
+tokens/sec/chip — previously impossible on one chip (the XLA fallback
+materializes [B,H,S,S] and OOMs).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30
+
+BLOCK = 512
+
+
+def _interpret() -> bool:
+    """Run the pallas_calls in interpret mode off-TPU so the exact algorithm
+    is testable in the CPU suite (the model never dispatches here on CPU —
+    attention.packed_flash_ok gates on flash_supported())."""
+    try:
+        return jax.devices()[0].platform not in ("tpu", "axon")
+    except Exception:
+        return True
+
+
+def supported(S: int, hd: int, heads: int) -> bool:
+    """Shapes this kernel serves: block-divisible S, lane-groupable heads."""
+    from neko_tpu.ops.attention_kernel import head_group
+
+    return (
+        S % BLOCK == 0
+        and S <= 16384
+        and hd <= 128
+        and head_group(heads, hd) > 0
+    )
+
+
+def _iota2(n_rows, n_cols, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, (n_rows, n_cols), dim)
+
+
+def _block_scores(q, k_blk, r0, c0, start, end, sm_scale):
+    """Masked scores for a (Bq, Bk) tile at absolute offset (r0, c0)."""
+    Bq, Bk = q.shape[0], k_blk.shape[0]
+    s = jax.lax.dot_general(
+        q, k_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    ) * sm_scale
+    rows = _iota2(Bq, Bk, 0) + r0
+    cols = _iota2(Bq, Bk, 1) + c0
+    ok = (cols <= rows) & (cols >= start) & (cols < end)
+    return jnp.where(ok, s, _NEG)
+
+
+def _keep_scale_blk(seed, b, h, qi, ki, n_heads, nk, Bq, Bk, dropout_rate):
+    """Deterministic keep/scale tile for (batch, head, q-block, k-block) —
+    every kernel (fwd, dq, dkv) regenerates the identical mask from the same
+    seed tuple regardless of its own loop order.  Mosaic allows at most two
+    seed words, so the (b, h, qi, ki) coordinates fold into one int32 (unique
+    while B*H*nq*nk < 2^31 — e.g. 16*24*32*32 ~ 4e5)."""
+    nq = nk  # Bq == Bk == BLOCK
+    blk_id = ((b * n_heads + h) * nq + qi) * nk + ki
+    pltpu.prng_seed(seed, blk_id)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((Bq, Bk)), jnp.uint32)
+    threshold = jnp.uint32(min(int(dropout_rate * 2**32), 2**32 - 1))
+    keep = (bits >= threshold).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - dropout_rate))
+
+
+def _dotf(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+
+
+def _fwd_kernel(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref,
+    o_ref, m_ref, l_ref,
+    *, sm_scale, dropout_rate, hd, n_heads,
+):
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    qi = pl.program_id(2)
+    g = q_ref.shape[-1] // hd
+    Bq = q_ref.shape[1]
+    S = k_ref.shape[1]
+    Bk = BLOCK
+    nk = S // Bk
+    start, end = start_ref[b], end_ref[b]
+    r0 = qi * Bq
+    for j in range(g):
+        sl = slice(j * hd, (j + 1) * hd)
+        q = q_ref[0, :, sl]
+
+        def body(ki, carry):
+            m, l, acc = carry
+            c0 = ki * Bk
+            k_blk = k_ref[0, pl.ds(c0, Bk), sl]
+            v_blk = v_ref[0, pl.ds(c0, Bk), sl]
+            s = _block_scores(q, k_blk, r0, c0, start, end, sm_scale)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            if dropout_rate > 0.0:
+                p = p * _keep_scale_blk(
+                    seed_ref[0], b, hg * g + j, qi, ki,
+                    n_heads, nk, Bq, Bk, dropout_rate,
+                )
+            acc = acc * alpha + _dotf(p.astype(q.dtype), v_blk)
+            return m_new, l, acc
+
+        init = (
+            jnp.full((Bq, 1), _NEG, jnp.float32),
+            jnp.zeros((Bq, 1), jnp.float32),
+            jnp.zeros((Bq, hd), jnp.float32),
+        )
+        # causal: q block qi only sees k blocks 0..qi (Bq == Bk)
+        m, l, acc = jax.lax.fori_loop(0, qi + 1, body, init)
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+        m_ref[0, 0, j] = m[:, 0]
+        l_ref[0, 0, j] = l[:, 0]
+
+
+def _dq_kernel(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+    m_ref, l_ref, delta_ref, dq_ref,
+    *, sm_scale, dropout_rate, hd, n_heads,
+):
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    qi = pl.program_id(2)
+    g = q_ref.shape[-1] // hd
+    Bq = q_ref.shape[1]
+    S = k_ref.shape[1]
+    Bk = BLOCK
+    nk = S // Bk
+    start, end = start_ref[b], end_ref[b]
+    r0 = qi * Bq
+    for j in range(g):
+        sl = slice(j * hd, (j + 1) * hd)
+        q = q_ref[0, :, sl]
+        do = do_ref[0, :, sl]
+        m = m_ref[0, 0, j][:, None]
+        l = l_ref[0, 0, j][:, None]
+        delta = delta_ref[0, 0, j][:, None]
+
+        def body(ki, dq):
+            c0 = ki * Bk
+            k_blk = k_ref[0, pl.ds(c0, Bk), sl]
+            v_blk = v_ref[0, pl.ds(c0, Bk), sl]
+            s = _block_scores(q, k_blk, r0, c0, start, end, sm_scale)
+            p = jnp.exp(s - m) / l
+            dp = jax.lax.dot_general(
+                do, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            if dropout_rate > 0.0:
+                dp = dp * _keep_scale_blk(
+                    seed_ref[0], b, hg * g + j, qi, ki,
+                    n_heads, nk, Bq, Bk, dropout_rate,
+                )
+            ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+            return dq + _dotf(ds, k_blk)
+
+        dq = jax.lax.fori_loop(
+            0, qi + 1, body, jnp.zeros((Bq, hd), jnp.float32)
+        )
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
+    m_ref, l_ref, delta_ref, dk_ref, dv_ref,
+    *, sm_scale, dropout_rate, hd, n_heads,
+):
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    ki = pl.program_id(2)
+    g = k_ref.shape[-1] // hd
+    Bk = k_ref.shape[1]
+    S = q_ref.shape[1]
+    Bq = BLOCK
+    nq = S // Bq
+    nk = S // Bk
+    start, end = start_ref[b], end_ref[b]
+    c0 = ki * Bk
+    for j in range(g):
+        sl = slice(j * hd, (j + 1) * hd)
+        k_blk = k_ref[0, :, sl]
+        v_blk = v_ref[0, :, sl]
+
+        def body(qi, carry):
+            dk, dv = carry
+            r0 = qi * Bq
+            q = q_ref[0, pl.ds(r0, Bq), sl]
+            do = do_ref[0, pl.ds(r0, Bq), sl]
+            m = m_ref[0, 0, j, pl.ds(r0, Bq)][:, None]
+            l = l_ref[0, 0, j, pl.ds(r0, Bq)][:, None]
+            delta = delta_ref[0, 0, j, pl.ds(r0, Bq)][:, None]
+            s = _block_scores(q, k_blk, r0, c0, start, end, sm_scale)
+            p = jnp.exp(s - m) / l
+            dp = jax.lax.dot_general(
+                do, v_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            if dropout_rate > 0.0:
+                ks = _keep_scale_blk(
+                    seed_ref[0], b, hg * g + j, qi, ki,
+                    n_heads, nk, Bq, Bk, dropout_rate,
+                )
+                y = p * ks
+                dp = dp * ks
+            else:
+                y = p
+            dv = dv + jax.lax.dot_general(
+                y.astype(q.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+            dk = dk + jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            return dk, dv
+
+        # causal: k block ki only receives grads from q blocks qi >= ki
+        dk, dv = jax.lax.fori_loop(
+            ki, nq, body,
+            (jnp.zeros((Bk, hd), jnp.float32), jnp.zeros((Bk, hd), jnp.float32)),
+        )
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _grid_specs(B, S, D, hd, g, Bq):
+    """(q-block spec, full-sequence spec, row-stat spec) for grid
+    (B, H//g, S//Bq)."""
+    blk = pl.BlockSpec(
+        (1, Bq, g * hd), lambda b, h, i, *refs: (b, i, h),
+        memory_space=pltpu.VMEM,
+    )
+    full = pl.BlockSpec(
+        (1, S, g * hd), lambda b, h, i, *refs: (b, 0, h),
+        memory_space=pltpu.VMEM,
+    )
+    # row stats live as [B, H//g, g, S]: the (g, S-block) trailing dims make
+    # a legal VMEM tile (second-minor == full dim g) and each program's
+    # (b, hg, qi) block is unique
+    stat_blk = pl.BlockSpec(
+        (1, 1, g, Bq), lambda b, h, i, *refs: (b, h, 0, i),
+        memory_space=pltpu.VMEM,
+    )
+    stat_full = pl.BlockSpec(
+        (1, 1, g, S), lambda b, h, i, *refs: (b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    return blk, full, stat_blk, stat_full
+
+
+def _pallas_fwd(q, k, v, start, end, seed, heads, sm_scale, dropout_rate):
+    from neko_tpu.ops.attention_kernel import head_group
+
+    B, S, D = q.shape
+    hd = D // heads
+    g = head_group(heads, hd)
+    Bq = BLOCK
+    blk, full, stat_blk, _ = _grid_specs(B, S, D, hd, g, Bq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, heads // g, S // Bq),
+        in_specs=[blk, full, full],
+        out_specs=[blk, stat_blk, stat_blk],
+    )
+    out, m, l = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            hd=hd, n_heads=heads,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, heads // g, g, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, heads // g, g, S), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(start, end, seed, q, k, v)
+    return out, m, l
+
+
+def _pallas_dq(q, k, v, do, m, l, delta, start, end, seed,
+               heads, sm_scale, dropout_rate):
+    from neko_tpu.ops.attention_kernel import head_group
+
+    B, S, D = q.shape
+    hd = D // heads
+    g = head_group(heads, hd)
+    Bq = BLOCK
+    blk, full, stat_blk, _ = _grid_specs(B, S, D, hd, g, Bq)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, heads // g, S // Bq),
+        in_specs=[blk, full, full, blk, stat_blk, stat_blk, stat_blk],
+        out_specs=blk,
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _dq_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            hd=hd, n_heads=heads,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(start, end, seed, q, k, v, do, m, l, delta)
+
+
+def _pallas_dkv(q, k, v, do, m, l, delta, start, end, seed,
+                heads, sm_scale, dropout_rate):
+    from neko_tpu.ops.attention_kernel import head_group
+
+    B, S, D = q.shape
+    hd = D // heads
+    g = head_group(heads, hd)
+    Bk = BLOCK
+    blk, full, _, stat_full = _grid_specs(B, S, D, hd, g, Bk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, heads // g, S // Bk),
+        in_specs=[full, blk, blk, full, stat_full, stat_full, stat_full],
+        out_specs=[blk, blk],
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate,
+            hd=hd, n_heads=heads,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 2,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(start, end, seed, q, k, v, do, m, l, delta)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _blocked_attention(q, k, v, start, end, seed, heads, sm_scale, dropout_rate):
+    out, _, _ = _pallas_fwd(
+        q, k, v, start, end, seed, heads, sm_scale, dropout_rate
+    )
+    return out
+
+
+def _vjp_fwd(q, k, v, start, end, seed, heads, sm_scale, dropout_rate):
+    out, m, l = _pallas_fwd(
+        q, k, v, start, end, seed, heads, sm_scale, dropout_rate
+    )
+    return out, (q, k, v, start, end, seed, m, l, out)
+
+
+def _vjp_bwd(heads, sm_scale, dropout_rate, res, do):
+    from neko_tpu.ops.attention_kernel import head_group
+
+    q, k, v, start, end, seed, m, l, out = res
+    B, S, D = q.shape
+    hd = D // heads
+    g = head_group(heads, hd)
+    # delta = rowsum(do * o) per (b, h, s): elementwise in the packed layout,
+    # then laid out like the m/l row stats ([B, H//g, g, S]) for prefetching
+    delta = (
+        (do.astype(jnp.float32) * out.astype(jnp.float32))
+        .reshape(B, S, heads, hd)
+        .sum(-1)
+        .transpose(0, 2, 1)
+        .reshape(B, heads // g, g, S)
+    )
+    dq = _pallas_dq(
+        q, k, v, do, m, l, delta, start, end, seed,
+        heads, sm_scale, dropout_rate,
+    )
+    dk, dv = _pallas_dkv(
+        q, k, v, do, m, l, delta, start, end, seed,
+        heads, sm_scale, dropout_rate,
+    )
+    return dq, dk, dv, None, None, None
+
+
+_blocked_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def dropout_keep_scale(seed, B: int, heads: int, S: int, dropout_rate: float):
+    """Materialize the exact keep/scale matrices the blocked kernels apply —
+    test support (mirrors attention_kernel.dropout_keep_scale).  Returns
+    fp32 [B, H, S, S] assembled from the per-(b, h, q-block, k-block) tiles."""
+    Bq = Bk = BLOCK
+    nq, nk = S // Bq, S // Bk
+
+    def kern(seed_ref, o_ref):
+        b, h = pl.program_id(0), pl.program_id(1)
+        for qi in range(nq):
+            for ki in range(nk):
+                o_ref[0, 0, qi * Bq:(qi + 1) * Bq, ki * Bk:(ki + 1) * Bk] = (
+                    _keep_scale_blk(
+                        seed_ref[0], b, h, qi, ki,
+                        heads, nk, Bq, Bk, dropout_rate,
+                    )
+                )
+
+    spec = pl.BlockSpec(
+        (1, 1, S, S), lambda b, h, *refs: (b, h, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1, grid=(B, heads), in_specs=[], out_specs=spec
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, heads, S, S), jnp.float32),
+        interpret=_interpret(),
+    )(seed)
+
+
+def blocked_attention_bsd(
+    q, k, v, start, end, seed=None, *, heads, sm_scale=None, dropout_rate=0.0
+):
+    """Blocked flash attention in head-packed [B, S, H*hd] layout.
+
+    Same contract as whole_head_attention_bsd (causal, contiguous key
+    validity [start, end), optional on-chip-PRNG dropout) but VMEM-bounded
+    for long sequences (S up to 16k per chip).  The dropout mask is seeded
+    per (batch, head, q-block, k-block); it is NOT bit-identical to the
+    whole-head kernel's mask — both are valid iid Bernoulli masks.
+    """
+    if sm_scale is None:
+        sm_scale = (q.shape[-1] // heads) ** -0.5
+    if seed is None:
+        assert dropout_rate == 0.0, "dropout requires an explicit seed"
+        seed = jnp.zeros((1,), jnp.int32)
+    return _blocked_attention(
+        q, k, v, start, end, seed, heads, sm_scale, dropout_rate
+    )

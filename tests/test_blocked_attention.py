@@ -1,0 +1,192 @@
+"""Blocked flash attention (ops/blocked_attention.py).
+
+On CPU the pallas_calls run in interpret mode (exact fp32), so the ALGORITHM
+is verified in the default suite; TPU runs (NEKO_TEST_TPU=1, see
+tests/test_attention_tpu.py::test_blocked_*) verify the Mosaic lowering.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neko_tpu.ops.attention import xla_attention
+from neko_tpu.ops.attention_kernel import mask_bounds_from_key_mask
+from neko_tpu.ops.blocked_attention import blocked_attention_bsd, supported
+
+
+def test_supported_predicate():
+    assert supported(2048, 32, 24)
+    assert supported(1024, 32, 8)
+    assert supported(16384, 64, 8)
+    assert not supported(1000, 32, 24)      # not block-divisible
+    assert not supported(32768, 32, 24)     # beyond cap
+    assert not supported(2048, 32, 6)       # heads not lane-groupable
+
+
+def _setup(B, H, S, hd, seed=1):
+    D = H * hd
+    rng = np.random.RandomState(seed)
+    q2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    k2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    v2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+    mask = np.ones((B, S), bool)
+    mask[0, : S // 10] = False           # left pad
+    if B > 1:
+        mask[1, S - S // 20 :] = False   # right pad
+    km = jnp.asarray(mask)
+    return q2, k2, v2, km
+
+
+def _to_bhsd(x, H, hd):
+    B, S, D = x.shape
+    return x.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
+
+
+def _to_bsd(x):
+    B, H, S, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * hd)
+
+
+_on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+
+
+@pytest.mark.skipif(
+    _on_tpu, reason="fp32-exact comparison is for interpret mode (CPU); the "
+    "TPU (bf16 MXU) variant is test_blocked_matches_xla_tpu",
+)
+def test_blocked_matches_xla_exact():
+    """Interpret-mode fp32: the blocked online-softmax algorithm must equal
+    plain XLA attention to float rounding (~1e-5), fwd and grads."""
+    B, H, S, hd = 2, 4, 1024, 32
+    q2, k2, v2, km = _setup(B, H, S, hd)
+    start, end = mask_bounds_from_key_mask(km)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def ref(q2, k2, v2):
+        return _to_bsd(
+            xla_attention(
+                _to_bhsd(q2, H, hd), _to_bhsd(k2, H, hd), _to_bhsd(v2, H, hd), km
+            )
+        )
+
+    def new(q2, k2, v2):
+        return blocked_attention_bsd(q2, k2, v2, start, end, heads=H)
+
+    with jax.default_matmul_precision("highest"):
+        a = ref(q2, k2, v2)
+        b = new(q2, k2, v2)
+        np.testing.assert_allclose(
+            np.asarray(a * w), np.asarray(b * w), atol=1e-5
+        )
+        ga = jax.grad(
+            lambda *xs: ((ref(*xs) * w) ** 2).sum(), argnums=(0, 1, 2)
+        )(q2, k2, v2)
+        gb = jax.grad(
+            lambda *xs: ((new(*xs) * w) ** 2).sum(), argnums=(0, 1, 2)
+        )(q2, k2, v2)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-4
+        )
+
+
+@pytest.mark.skipif(not _on_tpu, reason="needs a TPU (set NEKO_TEST_TPU=1)")
+def test_blocked_matches_xla_tpu():
+    """Real-chip Mosaic lowering at S=2048: bf16-MXU-pass tolerances."""
+    B, H, S, hd = 2, 8, 2048, 32
+    q2, k2, v2, km = _setup(B, H, S, hd)
+    start, end = mask_bounds_from_key_mask(km)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def ref(q2, k2, v2):
+        return _to_bsd(
+            xla_attention(
+                _to_bhsd(q2, H, hd), _to_bhsd(k2, H, hd), _to_bhsd(v2, H, hd), km
+            )
+        )
+
+    def new(q2, k2, v2):
+        return blocked_attention_bsd(q2, k2, v2, start, end, heads=H)
+
+    with jax.default_matmul_precision("default"):
+        a = jax.jit(ref)(q2, k2, v2)
+    b = jax.jit(new)(q2, k2, v2)
+    np.testing.assert_allclose(
+        np.asarray(a * w), np.asarray(b * w), atol=2e-2
+    )
+    gb = jax.jit(jax.grad(
+        lambda *xs: ((new(*xs) * w) ** 2).sum(), argnums=(0, 1, 2)
+    ))(q2, k2, v2)
+    with jax.default_matmul_precision("default"):
+        ga = jax.jit(jax.grad(
+            lambda *xs: ((ref(*xs) * w) ** 2).sum(), argnums=(0, 1, 2)
+        ))(q2, k2, v2)
+    for x, y in zip(ga, gb):
+        scale_ref = np.abs(np.asarray(x)).max()
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(x), atol=8e-3 * max(scale_ref, 1.0)
+        )
+
+
+@pytest.mark.skipif(
+    not _on_tpu,
+    reason="pltpu PRNG has no interpret-mode implementation (needs a TPU)",
+)
+def test_blocked_dropout_matches_exported_mask():
+    """Dropout fwd/bwd must equal an XLA attention applying the IDENTICAL
+    keep/scale matrices (exported via dropout_keep_scale)."""
+    from neko_tpu.ops.blocked_attention import dropout_keep_scale
+
+    B, H, S, hd = 1, 2, 1024, 32
+    rate = 0.25
+    q2, k2, v2, km = _setup(B, H, S, hd, seed=3)
+    start, end = mask_bounds_from_key_mask(km)
+    seed = jnp.asarray([29], jnp.int32)
+    w = km[:, :, None].astype(jnp.float32)
+    ks = dropout_keep_scale(seed, B, H, S, rate)
+    scale = hd ** -0.5
+
+    def ref(q2, k2, v2):
+        q = _to_bhsd(q2, H, hd)
+        k = _to_bhsd(k2, H, hd)
+        v = _to_bhsd(v2, H, hd)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        causal = jnp.tril(jnp.ones((S, S), jnp.bool_))
+        allowed = causal[None, None] & km[:, None, None, :]
+        logits = jnp.where(allowed, logits, -1e9)
+        p = jax.nn.softmax(logits, axis=-1) * ks
+        return _to_bsd(jnp.einsum("bhqk,bhkd->bhqd", p, v))
+
+    def new(q2, k2, v2):
+        return blocked_attention_bsd(
+            q2, k2, v2, start, end, seed, heads=H, dropout_rate=rate
+        )
+
+    with jax.default_matmul_precision("default"):
+        a = jax.jit(ref)(q2, k2, v2)
+    b = jax.jit(new)(q2, k2, v2)
+    np.testing.assert_allclose(
+        np.asarray(a * w), np.asarray(b * w), atol=2e-2
+    )
+    gb = jax.jit(jax.grad(
+        lambda *xs: ((new(*xs) * w) ** 2).sum(), argnums=(0, 1, 2)
+    ))(q2, k2, v2)
+    with jax.default_matmul_precision("default"):
+        ga = jax.jit(jax.grad(
+            lambda *xs: ((ref(*xs) * w) ** 2).sum(), argnums=(0, 1, 2)
+        ))(q2, k2, v2)
+    # tolerance note: rows whose softmax is (near-)one-hot — e.g. the first
+    # valid row after left-padding, which can only attend itself — have a
+    # true gradient that is an exact cancellation (dp - delta == 0).  The
+    # kernel computes dp on the bf16 MXU while delta comes from fp32 XLA
+    # (the standard flash-attention bwd split), so the cancellation leaves
+    # a bf16-rounding residue ~1e-2 relative; same behaviour as the official
+    # flash kernels.
+    for x, y in zip(ga, gb):
+        scale_ref = np.abs(np.asarray(x)).max()
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=4e-2 * max(scale_ref, 1.0)
+        )
