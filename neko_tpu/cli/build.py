@@ -37,6 +37,9 @@ def build_control_tasks(args: TrainingArgs, context_len: int) -> List[ControlTas
     if not args.control_datasets:
         return []
     from neko_tpu.envs.setup_env import load_envs
+    from neko_tpu.parallel.multihost import host_seed
+
+    seed = host_seed(args.seed)
 
     envs, datasets = load_envs(args.control_datasets)
     tasks = []
@@ -54,13 +57,16 @@ def build_control_tasks(args: TrainingArgs, context_len: int) -> List[ControlTas
                 training_prompt_len_proportion=args.prompt_len_proportion,
                 share_prompt_episodes=not args.unique_prompt_episodes,
                 top_k_prompting=args.top_k,
-                seed=args.seed,
+                seed=seed,
             )
         )
     return tasks
 
 
 def build_tasks(args: TrainingArgs) -> List[Task]:
+    from neko_tpu.parallel.multihost import host_seed
+
+    seed = host_seed(args.seed)
     tasks: List[Task] = list(build_control_tasks(args, args.sequence_length))
     if args.text_datasets:
         tasks.append(
@@ -69,7 +75,7 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
                 args.text_datasets_paths,
                 context_length=args.sequence_length,
                 tokenizer_model=args.tokenizer_model_name,
-                seed=args.seed,
+                seed=seed,
             )
         )
     if args.caption_dataset:
@@ -85,7 +91,7 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
                 patch_size=args.patch_size,
                 image_size=args.caption_image_size,
                 context_length=args.sequence_length,
-                seed=args.seed,
+                seed=seed,
             )
         )
     if args.vqa_dataset:
@@ -106,7 +112,7 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
                 patch_size=args.patch_size,
                 image_size=args.vqa_image_size,
                 context_length=args.sequence_length,
-                seed=args.seed,
+                seed=seed,
             )
         )
     return tasks

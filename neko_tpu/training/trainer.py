@@ -52,15 +52,31 @@ class Trainer:
         self.exp_name = exp_name
         self.exp_dir = os.path.join(args.save_dir, exp_name)
         self.packer = SequencePacker(ctx.model_cfg)
+        # multi-host: batch_size is GLOBAL (reference split_batches
+        # semantics); each process samples/packs only its slice, the
+        # sampling RNG is decorrelated per host, and only the main process
+        # writes logs (reference is_main_process gating, trainer.py:110-116)
+        from neko_tpu.parallel import multihost as mh
+
+        self.proc_index, self.proc_count = mh.process_info()
+        self.is_main_process = self.proc_index == 0
+        self.local_batch_size = mh.local_batch_size(
+            args.batch_size, self.proc_count
+        )
         self.logger = logger or MetricsLogger(
-            exp_dir=self.exp_dir if (args.save_model or args.log_jsonl) else None,
-            use_wandb=args.use_wandb,
+            exp_dir=self.exp_dir
+            if (args.save_model or args.log_jsonl) and self.is_main_process
+            else None,
+            use_wandb=args.use_wandb and self.is_main_process,
             wandb_project=args.wandb_project,
             exp_name=exp_name,
             config=args.__dict__,
+            print_logs=self.is_main_process,
             jsonl=args.log_jsonl,
         )
-        self.rng = np.random.default_rng(args.seed)
+        self.rng = np.random.default_rng(
+            args.seed + self.proc_index * 100_003
+        )
         self.deterministic = args.eval_mode == "deterministic"
         self.steps = 0
         self.state: Optional[TrainState] = None
@@ -90,8 +106,9 @@ class Trainer:
     def _compute_patch_budget(self) -> int:
         """Worst-case total image patches in one mixture batch, kept constant
         across steps so the compiled step never reshapes (see the global
-        patch pool in data/batch.py)."""
-        bs = self.args.batch_size
+        patch pool in data/batch.py).  Computed from the LOCAL (per-host)
+        slice; the global pool is the process-concatenation."""
+        bs = self.local_batch_size
         # upper bounds per component: the multinomial residual hands the
         # ENTIRE remainder (up to 3 with 4 fractional parts) to one component
         R = 3
@@ -115,7 +132,7 @@ class Trainer:
     def _compute_target_budget(self) -> int:
         """Worst-case loss-target count per batch for the gathered-loss path
         (ops/losses.py::gathered_masked_xent); 0 -> dense loss."""
-        bs = self.args.batch_size
+        bs = self.local_batch_size
         S = self.args.sequence_length
         R = 3  # remainder can land entirely on one component
         n_text = int(self.args.text_prop * bs) + R if self.text_tasks else 0
@@ -219,8 +236,8 @@ class Trainer:
 
     # ------------------------------------------------------------ training
     def _mixture_sizes(self) -> Dict[str, int]:
-        """Reference trainer.py:134-154."""
-        bs = self.args.batch_size
+        """Reference trainer.py:134-154 (applied to the per-host slice)."""
+        bs = self.local_batch_size
         text_prop = self.args.text_prop
         caption_prop = self.args.caption_prop
         vqa_prop = self.args.vqa_prop
@@ -276,10 +293,13 @@ class Trainer:
         return arrays
 
     def build_batch(self, arrays=None):
+        from neko_tpu.parallel import multihost as mh
+
         if arrays is None:
             arrays = self.sample_arrays()
+        arrays = mh.globalize_arrays(arrays, self.proc_index, self.proc_count)
         batch = to_device_batch(arrays)
-        return shd.shard_batch(self.ctx.mesh, batch)
+        return mh.form_global_batch(self.ctx.mesh, batch)
 
     def _next_arrays(self):
         depth = getattr(self.args, "prefetch_batches", 2)
@@ -368,6 +388,18 @@ class Trainer:
     # ---------------------------------------------------------- evaluation
     def evaluate(self) -> Dict:
         logs: Dict = {}
+        if self.proc_count > 1:
+            # in-training task evaluation drives per-host decode loops that
+            # can't consume pod-sharded params; multi-host runs evaluate
+            # offline (eval.py on a checkpoint) instead
+            if not getattr(self, "_warned_mh_eval", False):
+                self._warned_mh_eval = True
+                if self.is_main_process:
+                    print(
+                        "[neko-tpu] multi-host run: skipping in-training "
+                        "task evaluation (use eval.py on checkpoints)"
+                    )
+            return logs
         # reuse one Generator so its jitted prefill/decode stay cached
         # (a fresh instance would recompile every evaluation); hold the
         # sampling lock: task RNGs / h5 handles are shared with the

@@ -38,8 +38,14 @@ def load_args_dict(exp_dir_or_file: str) -> dict:
 
 
 def save_checkpoint(exp_dir: str, state: Any, step: int, args: Any = None) -> str:
-    """Write <exp_dir>/checkpoint_<step>/ and return its path."""
-    if args is not None:
+    """Write <exp_dir>/checkpoint_<step>/ and return its path.
+
+    Multi-host: every process must call this (Orbax gathers each host's
+    shards of the pod-sharded state); the args.json sidecar is written by
+    process 0 only."""
+    import jax
+
+    if args is not None and jax.process_index() == 0:
         save_args(exp_dir, args)
     path = os.path.join(os.path.abspath(exp_dir), f"checkpoint_{step}")
     ckptr = ocp.StandardCheckpointer()
