@@ -33,13 +33,17 @@ def select_platform(args: TrainingArgs) -> None:
         jax.distributed.initialize()
 
 
-def build_control_tasks(args: TrainingArgs, context_len: int) -> List[ControlTask]:
+def build_control_tasks(
+    args: TrainingArgs, context_len: int, seed: int = None
+) -> List[ControlTask]:
     if not args.control_datasets:
         return []
     from neko_tpu.envs.setup_env import load_envs
-    from neko_tpu.parallel.multihost import host_seed
 
-    seed = host_seed(args.seed)
+    if seed is None:
+        from neko_tpu.parallel.multihost import host_seed
+
+        seed = host_seed(args.seed)
 
     envs, datasets = load_envs(args.control_datasets)
     tasks = []
@@ -67,7 +71,9 @@ def build_tasks(args: TrainingArgs) -> List[Task]:
     from neko_tpu.parallel.multihost import host_seed
 
     seed = host_seed(args.seed)
-    tasks: List[Task] = list(build_control_tasks(args, args.sequence_length))
+    tasks: List[Task] = list(
+        build_control_tasks(args, args.sequence_length, seed)
+    )
     if args.text_datasets:
         tasks.append(
             TextTask(

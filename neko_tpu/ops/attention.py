@@ -131,13 +131,23 @@ def _kernel_local(q, k, v, key_mask, seed, sm_scale, dropout_rate, axes=()):
 def packed_flash_ok(S: int, hd: int, heads: int) -> bool:
     """True when a head-packed (transpose-free) kernel serves this shape —
     the preferred train-mode path.  S <= 1024 uses the whole-head kernel;
-    longer sequences the blocked flash kernel (both with dropout support)."""
+    longer sequences the blocked flash kernel (both with dropout support).
+
+    Under tensor parallelism the kernel runs inside shard_map on the
+    PER-SHARD head count, so lane-groupability is checked on that (e.g.
+    heads=12, hd=32, model=2 -> local heads 6, head_group(6,32)=0 —
+    unservable even though head_group(12,32)=4)."""
     from neko_tpu.ops import attention_kernel as whk
     from neko_tpu.ops import blocked_attention as blk
 
-    if not flash_supported() or whk.head_group(heads, hd) <= 0:
+    mesh = _active_mesh()
+    model_shards = dict(mesh.shape).get("model", 1) if mesh is not None else 1
+    if heads % max(model_shards, 1) != 0:
         return False
-    return whk.supported(S, hd, None) or blk.supported(S, hd, heads)
+    local_heads = heads // max(model_shards, 1)
+    if not flash_supported() or whk.head_group(local_heads, hd) <= 0:
+        return False
+    return whk.supported(S, hd, None) or blk.supported(S, hd, local_heads)
 
 
 def _kernel_local_bsd(q, k, v, key_mask, seed, *, heads, sm_scale, dropout_rate, axes=()):

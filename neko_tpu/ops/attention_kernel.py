@@ -398,6 +398,8 @@ def _vjp_fwd(q, k, v, start, end, seed, sm_scale, dropout_rate):
 
 def _vjp_bwd(sm_scale, dropout_rate, res, do):
     q, k, v, start, end, seed = res
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
     dq, dk, dv = _pallas_bwd(
         q, k, v, do, start, end, seed, sm_scale, dropout_rate
     )

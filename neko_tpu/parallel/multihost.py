@@ -45,11 +45,13 @@ def process_info() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
-def host_seed(seed: int) -> int:
+def host_seed(seed: int, process_index: int = None) -> int:
     """Per-host sampling seed: identical task RNGs on every host would make
     each process draw the SAME examples (duplicated data, not a bigger
     batch).  Process 0 keeps the user's seed unchanged."""
-    return seed + jax.process_index() * 100_003
+    if process_index is None:
+        process_index = jax.process_index()
+    return seed + process_index * 100_003
 
 
 def local_batch_size(global_batch_size: int, process_count: int) -> int:
@@ -92,17 +94,23 @@ def globalize_arrays(
     return out
 
 
-def form_global_batch(mesh, batch):
+def form_global_batch(mesh, batch, process_count: int = None):
     """Assemble a global PackedBatch from this process's local shard.
 
     `batch` is a PackedBatch (or pytree of arrays) of LOCAL shape — leading
     dims are the per-process slice.  Single-process: plain device_put with
     the mesh shardings (the existing path).  Multi-process: every leaf
     becomes a global jax.Array whose addressable shards are this process's
-    data."""
+    data.
+
+    `process_count` should come from the same `process_info()` snapshot the
+    caller used for `globalize_arrays` — a single source of truth for the
+    local-vs-global decision (the Trainer passes its own)."""
     from neko_tpu.parallel import sharding as shd
 
-    if jax.process_count() == 1:
+    if process_count is None:
+        process_count = jax.process_count()
+    if process_count == 1:
         return shd.shard_batch(mesh, batch)
 
     shardings = shd.batch_shardings(mesh, batch)

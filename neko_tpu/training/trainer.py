@@ -299,7 +299,7 @@ class Trainer:
             arrays = self.sample_arrays()
         arrays = mh.globalize_arrays(arrays, self.proc_index, self.proc_count)
         batch = to_device_batch(arrays)
-        return mh.form_global_batch(self.ctx.mesh, batch)
+        return mh.form_global_batch(self.ctx.mesh, batch, self.proc_count)
 
     def _next_arrays(self):
         depth = getattr(self.args, "prefetch_batches", 2)
