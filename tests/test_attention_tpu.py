@@ -242,6 +242,116 @@ def test_packed_bsd_dropout_matches_bhsd_layout():
 
 
 @requires_tpu
+def test_model_train_step_packed_path_matches_xla():
+    """MODEL-level guard for the head-packed train path: forward loss and
+    parameter grads must match the XLA attention path (dropout off) —
+    catches wiring bugs in SplitProj / dispatch that kernel-level tests
+    can't see."""
+    import dataclasses
+
+    import numpy as np
+
+    from neko_tpu.config import ModelConfig
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.models.policy import NekoModel
+
+    def build(attention_impl):
+        cfg = ModelConfig(
+            embed_dim=128, layers=2, heads=4, dropout=0.0, context_len=256,
+            max_patches=0, dtype="float32", text_tokens=512,
+            continuous_tokens=64, discrete_tokens=64,
+            attention_impl=attention_impl,
+        )
+        return NekoModel(cfg), cfg
+
+    rng = np.random.RandomState(0)
+    model_f, cfg = build("flash")
+    model_x, _ = build("xla")
+    packer = SequencePacker(cfg)
+    examples = [
+        {"text": list(rng.randint(1, 500, size=200))},
+        {
+            "continuous_obs": rng.randn(10, 4).astype(np.float32),
+            "continuous_actions": rng.randn(10, 2).astype(np.float32),
+        },
+    ]
+    arrays = packer.pack_batch(examples)
+    arrays.pop("lengths")
+    batch = to_device_batch(arrays)
+    params = model_f.init({"params": jax.random.key(0)}, batch)["params"]
+
+    def loss_fn(model):
+        def f(params):
+            _, loss = model.apply(
+                {"params": params}, batch, deterministic=False,
+                compute_loss=True,
+                rngs={"dropout": jax.random.key(1),
+                      "patch_pos": jax.random.key(2)},
+            )
+            return loss
+        return f
+
+    with jax.default_matmul_precision("default"):
+        lx, gx = jax.jit(jax.value_and_grad(loss_fn(model_x)))(params)
+    lf, gf = jax.jit(jax.value_and_grad(loss_fn(model_f)))(params)
+    assert abs(float(lx) - float(lf)) < 2e-3
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_f = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_leaves_with_path(gf)
+    )
+    for path, vx in flat_x:
+        vf = flat_f[jax.tree_util.keystr(path)]
+        scale = max(float(np.abs(np.asarray(vx)).max()), 1.0)
+        np.testing.assert_allclose(
+            np.asarray(vf, np.float32), np.asarray(vx, np.float32),
+            atol=2e-2 * scale, err_msg=jax.tree_util.keystr(path),
+        )
+
+
+@requires_tpu
+def test_train_step_long_context_with_dropout_smoke():
+    """k=2048 train step with dropout runs on one chip (blocked flash
+    kernel) and produces a finite decreasing-ish loss."""
+    import numpy as np
+
+    from neko_tpu.config import ModelConfig
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.parallel import sharding as shd
+    from neko_tpu.parallel.mesh import create_mesh
+    from neko_tpu.training.train_state import OptimizerConfig, TrainContext
+
+    cfg = ModelConfig(
+        embed_dim=128, layers=2, heads=4, dropout=0.1, context_len=2048,
+        max_patches=0, dtype="bfloat16", text_tokens=512,
+        continuous_tokens=64, discrete_tokens=64,
+    )
+    opt = OptimizerConfig(
+        learning_rate=1e-3, init_lr=1e-5, warmup_steps=2, training_steps=50
+    )
+    mesh = create_mesh(model=1)
+    ctx = TrainContext(cfg, opt, mesh, seed=0)
+    packer = SequencePacker(cfg)
+    rng = np.random.RandomState(0)
+    examples = [
+        {"text": list(rng.randint(1, 500, size=cfg.context_len - 1))}
+        for _ in range(2)
+    ]
+    arrays = packer.pack_batch(examples)
+    arrays.pop("lengths")
+    batch = shd.shard_batch(mesh, to_device_batch(arrays))
+    state = ctx.init_state(batch)
+    losses = []
+    for _ in range(5):
+        state, loss = ctx.train_step(state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # memorizing one batch must reduce loss
+
+
+@requires_tpu
 def test_whole_head_dropout_fwd_bwd_match_xla_with_same_mask():
     """The kernel's dropout fwd AND custom-VJP bwd must equal an XLA
     attention that applies the IDENTICAL keep/scale mask (exported via
