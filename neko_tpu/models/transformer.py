@@ -157,15 +157,11 @@ class Attention(nn.Module):
                     self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
                     dtype=jnp.int32,
                 )
-            out = attn_ops.tpu_flash_attention_bsd(
+            out2d = attn_ops.tpu_flash_attention_bsd(
                 q2, k2, v2, input_mask,
                 heads=H, dropout_seed=seed, dropout_rate=rate,
             )
-            out = nn.Dense(
-                D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
-                name="c_proj",
-            )(out)
-            return Dropout(cfg.dropout)(out, deterministic=deterministic)
+            return self._project_out(out2d, deterministic)
 
         q = q2.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
         k = k2.reshape(B, S, H, hd).transpose(0, 2, 1, 3)
@@ -298,13 +294,17 @@ class Attention(nn.Module):
                     deterministic=deterministic,
                 )
 
-        out = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        out2d = out.transpose(0, 2, 1, 3).reshape(B, S, D)
+        return self._project_out(out2d, deterministic)
+
+    def _project_out(self, out2d, deterministic):
+        """Shared tail: output projection + residual dropout on [B, S, D]."""
+        cfg = self.cfg
         out = nn.Dense(
-            D, kernel_init=_INIT, dtype=dtype, param_dtype=cfg.params_dtype,
-            name="c_proj",
-        )(out)
-        out = Dropout(cfg.dropout)(out, deterministic=deterministic)
-        return out
+            cfg.embed_dim, kernel_init=_INIT, dtype=cfg.activation_dtype,
+            param_dtype=cfg.params_dtype, name="c_proj",
+        )(out2d)
+        return Dropout(cfg.dropout)(out, deterministic=deterministic)
 
 
 class MLP(nn.Module):

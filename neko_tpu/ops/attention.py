@@ -140,14 +140,17 @@ def packed_flash_ok(S: int, hd: int, heads: int) -> bool:
     from neko_tpu.ops import attention_kernel as whk
     from neko_tpu.ops import blocked_attention as blk
 
-    mesh = _active_mesh()
-    model_shards = dict(mesh.shape).get("model", 1) if mesh is not None else 1
-    if heads % max(model_shards, 1) != 0:
+    model_shards = _model_shards(_active_mesh())
+    if heads % model_shards != 0:
         return False
-    local_heads = heads // max(model_shards, 1)
+    local_heads = heads // model_shards
     if not flash_supported() or whk.head_group(local_heads, hd) <= 0:
         return False
     return whk.supported(S, hd, None) or blk.supported(S, hd, local_heads)
+
+
+def _model_shards(mesh) -> int:
+    return dict(mesh.shape).get("model", 1) if mesh is not None else 1
 
 
 def _kernel_local_bsd(q, k, v, key_mask, seed, *, heads, sm_scale, dropout_rate, axes=()):
@@ -159,7 +162,7 @@ def _kernel_local_bsd(q, k, v, key_mask, seed, *, heads, sm_scale, dropout_rate,
         for i, name in enumerate(axes):
             seed = seed + jax.lax.axis_index(name) * (100_003 + i)
     S, hd = q.shape[1], q.shape[-1] // heads
-    if whk.supported(S, hd, q.dtype):
+    if whk.supported(S, hd, None):
         return whk.whole_head_attention_bsd(
             q, k, v, start, end, seed,
             heads=heads, sm_scale=sm_scale, dropout_rate=dropout_rate,
@@ -179,7 +182,7 @@ def tpu_flash_attention_bsd(
     an active ('data','model') mesh with heads sharded along the minor dim
     (the same head split as the bhsd path — TP-identical math).
 
-    Caller must check `packed_flash_ok(S, hd)` first."""
+    Caller must check `packed_flash_ok(S, hd, heads)` first."""
     hd = q.shape[-1] // heads
     sm_scale = hd ** -0.5
     if dropout_rate <= 0.0:
@@ -193,7 +196,7 @@ def tpu_flash_attention_bsd(
 
     from jax import shard_map
 
-    model_shards = dict(mesh.shape).get("model", 1)
+    model_shards = _model_shards(mesh)
     assert heads % model_shards == 0, (
         f"heads={heads} not divisible by model axis {model_shards}"
     )
