@@ -94,7 +94,8 @@ def tgt_budget(batch_size, cfg) -> int:
     return -(-t // 256) * 256
 
 
-def build_batch(packer, cfg, batch_size, seed=0):
+def build_examples(cfg, batch_size, seed=0):
+    """Raw mixed-modality example dicts (text / MuJoCo-like / Atari-like)."""
     rng = np.random.RandomState(seed)
     ts = cfg.token_space
     examples = []
@@ -119,19 +120,33 @@ def build_batch(packer, cfg, batch_size, seed=0):
             T = ctx_ts_img
             examples.append(
                 {
-                    "images": rng.randint(0, 255, (T, 96, 96, 3)).astype(np.float32),
+                    "images": rng.randint(0, 255, (T, 96, 96, 3)).astype(np.uint8),
                     "discrete_actions": rng.randint(0, 18, size=T).astype(np.int32),
                 }
             )
+    return examples
+
+
+def patch_budget(cfg, batch_size):
+    ctx_ts_img = cfg.context_len // 38
+    n_img = sum(1 for i in range(batch_size) if i % 3 == 2)
+    return -(-(n_img * ctx_ts_img * 36) // 256) * 256
+
+
+def pack(packer, cfg, examples, batch_size):
     # exact-count global patch pool + loss-target budget (what the Trainer
     # computes per mixture)
-    n_img = sum(1 for i in range(batch_size) if i % 3 == 2)
-    budget = -(-(n_img * ctx_ts_img * 36) // 256) * 256
     arrays = packer.pack_batch(
-        examples, patch_budget=budget, target_budget=tgt_budget(batch_size, cfg)
+        examples,
+        patch_budget=patch_budget(cfg, batch_size),
+        target_budget=tgt_budget(batch_size, cfg),
     )
     arrays.pop("lengths")
     return arrays
+
+
+def build_batch(packer, cfg, batch_size, seed=0):
+    return pack(packer, cfg, build_examples(cfg, batch_size, seed), batch_size)
 
 
 def main():
@@ -188,10 +203,42 @@ def main():
     tokens_per_sec = tokens_per_step * n_steps / dt
     per_chip = tokens_per_sec / n_dev
 
+    # END-TO-END: the full Trainer-equivalent pipeline — fresh pack +
+    # host->device transfer + step every iteration, with the pack+transfer
+    # running in a prefetch thread exactly as Trainer.build_batch does
+    # (data/pipeline.py).  Example SAMPLING (dataset reads) is excluded;
+    # everything the Trainer does per step after sampling is included.
+    from neko_tpu.data.batch import from_arrays
+    from neko_tpu.data.pipeline import HostPrefetcher
+
+    pools = [build_examples(cfg, batch_size, seed=s) for s in range(4)]
+    it = {"i": 0}
+
+    def produce():
+        examples = pools[it["i"] % len(pools)]
+        it["i"] += 1
+        arrays = pack(packer, cfg, examples, batch_size)
+        return shd.shard_batch(mesh, from_arrays(arrays))
+
+    pf = HostPrefetcher(produce, depth=2)
+    for _ in range(3):
+        state, loss = ctx.train_step(state, pf.get())
+    float(loss)
+    n_e2e = 15
+    t0 = time.perf_counter()
+    for _ in range(n_e2e):
+        state, loss = ctx.train_step(state, pf.get())
+    float(loss)
+    dt_e2e = time.perf_counter() - t0
+    pf.close()
+    e2e_per_chip = tokens_per_step * n_e2e / dt_e2e / n_dev
+
     out = {
         "metric": "multimodal_train_tokens_per_sec_per_chip_768d6L",
         "value": round(per_chip, 1),
         "unit": "tokens/sec/chip",
+        "end_to_end": round(e2e_per_chip, 1),
+        "e2e_over_device_step": round(e2e_per_chip / per_chip, 3),
         "vs_baseline": round(per_chip / REFERENCE_TOKENS_PER_SEC_PER_CHIP, 3),
     }
 

@@ -107,6 +107,14 @@ class ModelConfig:
     # state-based control) which also removes the conv from the graph.
     max_patches: int = 0
 
+    # Host->device dtype of the patch pool.  Every image source produces raw
+    # 8-bit pixels (Atari frames, PIL decodes) and the model normalizes
+    # [0,255] -> [-1,1] on device (reference embeddings.py:38-41), so 'uint8'
+    # transfers 4x fewer bytes than f32 with no information loss; set
+    # 'float32' only for sources with genuinely fractional pixel values
+    # (uint8 packing rounds-and-clips them to [0,255]).
+    patch_dtype: str = "uint8"
+
     # Compute dtypes.  Params are kept fp32; activations in `dtype`.
     dtype: str = "bfloat16"
     param_dtype: str = "float32"
@@ -162,6 +170,12 @@ class ModelConfig:
     @property
     def params_dtype(self):
         return jnp.dtype(self.param_dtype)
+
+    @property
+    def patch_np_dtype(self):
+        import numpy as np
+
+        return np.dtype(self.patch_dtype)
 
     def replace(self, **kw) -> "ModelConfig":
         return dataclasses.replace(self, **kw)

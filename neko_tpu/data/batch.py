@@ -15,7 +15,9 @@ step consumes one static-shape record:
     inner_pos   i32[B, S]   within-timestep observation position, -1 where no
                             inner positional embedding applies (separator /
                             action / pad slots; gato_policy.py:381-385)
-    patches     f32[N, ps, ps, 3]  raw image patches (0..255, NHWC) — a GLOBAL
+    patches     u8[N, ps, ps, 3]  raw image patches (0..255, NHWC; uint8 on
+                            the wire — the model casts+normalizes on device,
+                            see ModelConfig.patch_dtype) — a GLOBAL
                             pool across the whole batch, not per-example: in
                             mixed text+control batches most examples carry no
                             images, and a per-example [B, P, ...] budget made
@@ -77,6 +79,7 @@ def empty_batch_np(
     seq_len: int,
     patch_budget: int = 0,
     patch_size: int = 16,
+    patch_dtype=np.float32,
 ) -> dict:
     """Host-side zeroed numpy arrays for the packer to fill in."""
     out = {
@@ -87,7 +90,7 @@ def empty_batch_np(
     }
     if patch_budget > 0:
         out["patches"] = np.zeros(
-            (patch_budget, patch_size, patch_size, 3), dtype=np.float32
+            (patch_budget, patch_size, patch_size, 3), dtype=patch_dtype
         )
         out["patch_pos"] = np.zeros((patch_budget, 4), dtype=np.int32)
         # batch == batch_size / slot == seq_len mark unused pool entries;
@@ -117,6 +120,14 @@ def add_loss_entries_np(out: dict, target_budget: int) -> None:
         n += len(ts)
     out["loss_pos"] = loss_pos
     out["loss_tgt"] = loss_tgt
+
+
+def from_arrays(arrays: dict) -> PackedBatch:
+    """Wrap packer output in a PackedBatch WITHOUT transferring to device —
+    the caller device_puts the whole pytree once with its target shardings
+    (one transfer instead of per-leaf default-device puts + a resharding
+    copy).  The hot-path constructor for the training pipeline."""
+    return PackedBatch(**arrays)
 
 
 def to_device_batch(arrays: dict) -> PackedBatch:

@@ -49,7 +49,7 @@ class PackedExample:
     tokens: np.ndarray       # i32 [L]
     target_mask: np.ndarray  # bool [L]
     inner_pos: np.ndarray    # i32 [L], -1 where inapplicable
-    patches: np.ndarray      # f32 [n_patches, ps, ps, 3]
+    patches: np.ndarray      # u8/f32 [n_patches, ps, ps, 3] (cfg.patch_dtype)
     patch_pos: np.ndarray    # i32 [n_patches, 4]
     patch_slot: np.ndarray   # i32 [n_patches] (position within [0, L))
 
@@ -58,16 +58,22 @@ class PackedExample:
         return int(self.tokens.shape[0])
 
 
-def extract_patches(images: np.ndarray, patch_size: int):
+def extract_patches(images: np.ndarray, patch_size: int, dtype=np.float32):
     """[T, H, W, 3] -> ([T*n_h*n_w, ps, ps, 3], n_h, n_w), row-major patch
-    order matching the reference einops rearrange (embeddings.py:44)."""
+    order matching the reference einops rearrange (embeddings.py:44).
+
+    dtype np.uint8 rounds-and-clips pixel values to [0, 255] (lossless for
+    every 8-bit image source; see ModelConfig.patch_dtype)."""
     T, H, W, C = images.shape
     ps = patch_size
     assert H % ps == 0 and W % ps == 0, "image dims must be multiples of patch size"
     n_h, n_w = H // ps, W // ps
+    dtype = np.dtype(dtype)
+    if dtype == np.uint8 and images.dtype != np.uint8:
+        images = np.clip(np.rint(images), 0, 255).astype(np.uint8)
     x = images.reshape(T, n_h, ps, n_w, ps, C)
     x = x.transpose(0, 1, 3, 2, 4, 5).reshape(T * n_h * n_w, ps, ps, C)
-    return np.ascontiguousarray(x, dtype=np.float32), n_h, n_w
+    return np.ascontiguousarray(x, dtype=dtype), n_h, n_w
 
 
 class SequencePacker:
@@ -108,7 +114,7 @@ class SequencePacker:
         parts_target: List[np.ndarray] = []
         n_obs_tokens = 0
 
-        patches = np.zeros((0, self.ps, self.ps, 3), np.float32)
+        patches = np.zeros((0, self.ps, self.ps, 3), self.cfg.patch_np_dtype)
         patch_pos = np.zeros((0, 4), np.int32)
         patches_per_ts = 0
 
@@ -117,7 +123,7 @@ class SequencePacker:
             if images.ndim == 3:  # single image [H, W, 3]
                 images = images[None]
             patches, n_h, n_w = extract_patches(
-                images.astype(np.float32), self.ps
+                images, self.ps, dtype=self.cfg.patch_np_dtype
             )
             _check_T(images.shape[0])
             patches_per_ts = n_h * n_w
@@ -319,7 +325,7 @@ class SequencePacker:
             tokens=tokens,
             target_mask=target.astype(bool),
             inner_pos=inner,
-            patches=np.zeros((0, self.ps, self.ps, 3), np.float32),
+            patches=np.zeros((0, self.ps, self.ps, 3), self.cfg.patch_np_dtype),
             patch_pos=np.zeros((0, 4), np.int32),
             patch_slot=np.zeros((0,), np.int32),
         )
@@ -359,7 +365,7 @@ class SequencePacker:
                 N = -(-needed // 256) * 256
         else:
             N = patch_budget
-        out = empty_batch_np(B, S, N, self.ps)
+        out = empty_batch_np(B, S, N, self.ps, patch_dtype=self.cfg.patch_np_dtype)
         lengths = np.zeros(B, np.int32)
         n_used = 0
 

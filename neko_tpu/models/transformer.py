@@ -140,6 +140,27 @@ class Attention(nn.Module):
 
         dropout_active = not deterministic and cfg.dropout > 0.0
         use_seq_parallel = mode == "train" and attn_ops.seq_shards() > 1
+        if (
+            use_seq_parallel
+            and cfg.attention_impl in ("auto", "flash")
+            and attn_ops.packed_ring_ok(S, hd, H)
+        ):
+            # sequence-parallel fast path: Pallas flash kernels inside every
+            # ring step, head-packed layout preserved (no transposes, no
+            # [B,H,S_l,S_l] score materialization — ops/ring_kernel.py)
+            seed = None
+            rate = 0.0
+            if dropout_active:
+                rate = cfg.dropout
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32,
+                )
+            out2d = attn_ops.sequence_parallel_attention_bsd(
+                q2, k2, v2, input_mask,
+                heads=H, dropout_seed=seed, dropout_rate=rate,
+            )
+            return self._project_out(out2d, deterministic)
         use_packed = (
             mode == "train"
             and not use_seq_parallel

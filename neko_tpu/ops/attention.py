@@ -281,6 +281,76 @@ def seq_shards() -> int:
     return seq_axis_size(_active_mesh())
 
 
+def packed_ring_ok(S: int, hd: int, heads: int) -> bool:
+    """True when the Pallas ring kernels (ops/ring_kernel.py) serve this
+    sequence-sharded shape — the preferred long-context train path: flash
+    block math inside every ring step, head-packed transpose-free layout."""
+    from neko_tpu.ops import ring_kernel as rk
+
+    mesh = _active_mesh()
+    n = dict(mesh.shape).get("seq", 1) if mesh is not None else 1
+    if n <= 1 or not flash_supported():
+        return False
+    model_shards = _model_shards(mesh)
+    if heads % model_shards != 0 or S % n != 0:
+        return False
+    return rk.supported(S // n, hd, heads // model_shards)
+
+
+def sequence_parallel_attention_bsd(
+    q, k, v, key_mask, *, heads, dropout_seed=None, dropout_rate=0.0
+):
+    """Pallas ring attention in head-packed [B, S, H*hd] layout: batch on
+    'data', heads (minor dim) on 'model', sequence blocks rotating around
+    the 'seq' ICI ring with flash-kernel block math at every step
+    (ops/ring_kernel.py).  Replaces the pure-XLA ring for supported shapes —
+    no [B, H, S_l, S_l] score materialization, no relayout transposes.
+
+    Caller must check `packed_ring_ok(S, hd, heads)` first."""
+    from jax import shard_map
+
+    from neko_tpu.ops import attention_kernel as whk
+    from neko_tpu.ops import ring_kernel as rk
+
+    mesh = _active_mesh()
+    n = dict(mesh.shape)["seq"]
+    model_shards = _model_shards(mesh)
+    sm_scale = (q.shape[-1] // heads) ** -0.5
+    if dropout_rate <= 0.0:
+        dropout_seed = jnp.zeros((1,), jnp.int32)
+    # GLOBAL contiguous key-validity bounds — computed once outside the
+    # ring; nothing mask-shaped ever rotates
+    start, end = whk.mask_bounds_from_key_mask(key_mask)
+
+    def local(ql, kl, vl, st, en, seed):
+        if dropout_rate > 0.0:
+            # decorrelate the replicated seed across data/model shards (the
+            # seq position is already unique through GLOBAL block ids)
+            seed = seed + jax.lax.axis_index("data") * 100_003
+            seed = seed + jax.lax.axis_index("model") * 100_004
+        return rk.ring_attention_bsd(
+            ql, kl, vl, st, en, seed,
+            axis_name="seq", n_shards=n, heads=heads // model_shards,
+            sm_scale=sm_scale, dropout_rate=dropout_rate,
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("data", "seq", "model"),
+            P("data", "seq", "model"),
+            P("data", "seq", "model"),
+            P("data"),
+            P("data"),
+            P(),
+        ),
+        out_specs=P("data", "seq", "model"),
+        check_vma=False,
+    )
+    return fn(q, k, v, start, end, dropout_seed)
+
+
 def sequence_parallel_attention(
     q, k, v, key_mask, *, dropout_key=None, dropout_rate=0.0
 ):

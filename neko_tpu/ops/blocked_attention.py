@@ -90,13 +90,14 @@ def _block_scores(q, k_blk, r0, c0, start, end, sm_scale):
     return jnp.where(ok, s, _NEG)
 
 
-def _keep_scale_blk(seed, b, h, qi, ki, n_heads, nk, Bq, Bk, dropout_rate):
+def _keep_scale_blk(seed, b, h, qi, ki, n_heads, nq, nk, Bq, Bk, dropout_rate):
     """Deterministic keep/scale tile for (batch, head, q-block, k-block) —
     every kernel (fwd, dq, dkv) regenerates the identical mask from the same
     seed tuple regardless of its own loop order.  Mosaic allows at most two
     seed words, so the (b, h, qi, ki) coordinates fold into one int32 (unique
-    while B*H*nq*nk < 2^31 — e.g. 16*24*32*32 ~ 4e5)."""
-    nq = nk  # Bq == Bk == BLOCK
+    while B*H*nq*nk < 2^31 — e.g. 16*24*32*32 ~ 4e5).  nq is passed
+    explicitly (not derived from nk) so fwd/bwd masks stay aligned even if
+    the q/k block sizes ever diverge."""
     blk_id = ((b * n_heads + h) * nq + qi) * nk + ki
     pltpu.prng_seed(seed, blk_id)
     bits = pltpu.bitcast(pltpu.prng_random_bits((Bq, Bk)), jnp.uint32)
@@ -125,6 +126,7 @@ def _fwd_kernel(
     Bq = q_ref.shape[1]
     S = k_ref.shape[1]
     Bk = BLOCK
+    nq = S // Bq
     nk = S // Bk
     start, end = start_ref[b], end_ref[b]
     r0 = qi * Bq
@@ -145,7 +147,7 @@ def _fwd_kernel(
             if dropout_rate > 0.0:
                 p = p * _keep_scale_blk(
                     seed_ref[0], b, hg * g + j, qi, ki,
-                    n_heads, nk, Bq, Bk, dropout_rate,
+                    n_heads, nq, nk, Bq, Bk, dropout_rate,
                 )
             acc = acc * alpha + _dotf(p.astype(q.dtype), v_blk)
             return m_new, l, acc
@@ -174,6 +176,7 @@ def _dq_kernel(
     Bq = q_ref.shape[1]
     S = k_ref.shape[1]
     Bk = BLOCK
+    nq = S // Bq
     nk = S // Bk
     start, end = start_ref[b], end_ref[b]
     r0 = qi * Bq
@@ -199,7 +202,7 @@ def _dq_kernel(
             if dropout_rate > 0.0:
                 dp = dp * _keep_scale_blk(
                     seed_ref[0], b, hg * g + j, qi, ki,
-                    n_heads, nk, Bq, Bk, dropout_rate,
+                    n_heads, nq, nk, Bq, Bk, dropout_rate,
                 )
             ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
             return dq + _dotf(ds, k_blk)
@@ -249,7 +252,7 @@ def _dkv_kernel(
             if dropout_rate > 0.0:
                 ks = _keep_scale_blk(
                     seed_ref[0], b, hg * g + j, qi, ki,
-                    n_heads, nk, Bq, Bk, dropout_rate,
+                    n_heads, nq, nk, Bq, Bk, dropout_rate,
                 )
                 y = p * ks
                 dp = dp * ks
@@ -452,7 +455,7 @@ def dropout_keep_scale(seed, B: int, heads: int, S: int, dropout_rate: float):
                 o_ref[0, 0, qi * Bq:(qi + 1) * Bq, ki * Bk:(ki + 1) * Bk] = (
                     _keep_scale_blk(
                         seed_ref[0], b, h, qi, ki,
-                        heads, nk, Bq, Bk, dropout_rate,
+                        heads, nq, nk, Bq, Bk, dropout_rate,
                     )
                 )
 

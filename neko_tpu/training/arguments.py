@@ -130,6 +130,7 @@ class TrainingArgs:
     remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
     seed: int = field(default=42)
     prefetch_batches: int = field(default=2, metadata={"help": "Host batches packed ahead of the device by a background thread; 0 disables."})
+    prefetch_workers: int = field(default=1, metadata={"help": "Prefetch threads packing+transferring batches concurrently; >1 helps image-dense mixtures but makes batch order scheduling-dependent."})
     profile_dir: Optional[str] = field(default=None, metadata={"help": "Capture a jax.profiler trace of a few train steps into this directory (view with tensorboard/xprof)."})
     profile_steps: int = field(default=3, metadata={"help": "Number of steps to trace when --profile_dir is set."})
     multihost: bool = field(default=False, metadata={"help": "Call jax.distributed.initialize() at startup (multi-host TPU slices)."})

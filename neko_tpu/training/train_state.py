@@ -119,6 +119,18 @@ class TrainContext:
         self.mesh = mesh
         self.model = NekoModel(model_cfg)
         self.tx, self.schedule = make_optimizer(opt_cfg)
+        from neko_tpu.training.schedulers import (
+            linear_warmup_cosine_decay_host,
+        )
+
+        self._host_schedule = linear_warmup_cosine_decay_host(
+            base_lr=opt_cfg.learning_rate,
+            init_lr=opt_cfg.init_lr,
+            min_lr=opt_cfg.learning_rate / opt_cfg.min_factor,
+            warmup_steps=opt_cfg.warmup_steps,
+            total_steps=opt_cfg.training_steps,
+            cosine_decay=not opt_cfg.disable_cosine_decay,
+        )
         self.seed = seed
         self._train_step = None
         self._eval_step = None
@@ -224,4 +236,7 @@ class TrainContext:
             return self._eval_step(state.params, batch)
 
     def current_lr(self, step: int) -> float:
-        return float(self.schedule(step))
+        # host-side math: evaluating the jnp schedule eagerly runs on the
+        # accelerator and float() then blocks on the ENTIRE dispatched
+        # device queue — a hidden per-step pipeline sync (schedulers.py)
+        return float(self._host_schedule(step))

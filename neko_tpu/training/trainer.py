@@ -25,7 +25,6 @@ from typing import Dict, List, Optional
 import jax
 import numpy as np
 
-from neko_tpu.data.batch import to_device_batch
 from neko_tpu.data.packing import SequencePacker
 from neko_tpu.inference.generator import Generator
 from neko_tpu.parallel import sharding as shd
@@ -75,7 +74,7 @@ class Trainer:
             jsonl=args.log_jsonl,
         )
         self.rng = np.random.default_rng(
-            args.seed + self.proc_index * 100_003
+            mh.host_seed(args.seed, self.proc_index)
         )
         self.deterministic = args.eval_mode == "deterministic"
         self.steps = 0
@@ -293,22 +292,35 @@ class Trainer:
         return arrays
 
     def build_batch(self, arrays=None):
+        """Sample (unless given), pack, and device_put ONE sharded batch.
+
+        Runs inside the prefetch thread on the hot path so the host->device
+        copy overlaps device compute — the copy, not the packing, dominated
+        host time (a 15 MB f32 patch pool serialized ~3 device steps; the
+        uint8 schema + overlap removed the stall entirely)."""
+        from neko_tpu.data.batch import from_arrays
         from neko_tpu.parallel import multihost as mh
 
         if arrays is None:
             arrays = self.sample_arrays()
         arrays = mh.globalize_arrays(arrays, self.proc_index, self.proc_count)
-        batch = to_device_batch(arrays)
+        # numpy pytree -> one device_put with the mesh shardings (no
+        # intermediate default-device copy)
+        batch = from_arrays(arrays)
         return mh.form_global_batch(self.ctx.mesh, batch, self.proc_count)
 
-    def _next_arrays(self):
+    def _next_batch(self):
         depth = getattr(self.args, "prefetch_batches", 2)
         if depth <= 0:
-            return self.sample_arrays()
+            return self.build_batch()
         if self._prefetcher is None:
             from neko_tpu.data.pipeline import HostPrefetcher
 
-            self._prefetcher = HostPrefetcher(self.sample_arrays, depth=depth)
+            self._prefetcher = HostPrefetcher(
+                self.build_batch,
+                depth=depth,
+                workers=getattr(self.args, "prefetch_workers", 1),
+            )
         return self._prefetcher.get()
 
     def train_step(self):
@@ -321,8 +333,12 @@ class Trainer:
             max(0, self.steps - 1) // accum
         )
         t0 = time.time()
-        batch = self.build_batch(self._next_arrays())
+        batch = self._next_batch()
+        # with prefetch this is pure queue wait: ~0 when the host pipeline
+        # keeps up, ~(host_pipeline - device_step) when it doesn't
         logs["time/sample_batch"] = time.time() - t0
+        if self._prefetcher is not None:
+            logs["time/host_pipeline"] = self._prefetcher.last_produce_time
         self._maybe_profile()
         self.state, loss = self.ctx.train_step(self.state, batch)
         return loss, logs
@@ -437,30 +453,33 @@ class Trainer:
                     for k, v in m.items():
                         logs[f"evaluation/{task.name}/{k}"] = v
             elif isinstance(task, TextTask):
-                m = task.evaluate(
-                    gen,
-                    num_examples_to_test=self.args.eval_text_num_examples,
-                    deterministic=self.deterministic,
-                    log_examples_to_output=self.args.eval_text_log_examples,
-                )
-                for k, v in m.items():
-                    logs[f"evaluation/text/{k}"] = v
+                if self.args.eval_text_num_examples > 0:
+                    m = task.evaluate(
+                        gen,
+                        num_examples_to_test=self.args.eval_text_num_examples,
+                        deterministic=self.deterministic,
+                        log_examples_to_output=self.args.eval_text_log_examples,
+                    )
+                    for k, v in m.items():
+                        logs[f"evaluation/text/{k}"] = v
             elif getattr(task, "task_kind", "") == "caption":
-                m = task.evaluate(
-                    gen,
-                    num_examples_to_test=self.args.eval_caption_num_examples,
-                    deterministic=self.deterministic,
-                    log_examples_to_output=self.args.eval_caption_log_examples,
-                )
-                for k, v in m.items():
-                    logs[f"evaluation/caption/{k}"] = v
+                if self.args.eval_caption_num_examples > 0:
+                    m = task.evaluate(
+                        gen,
+                        num_examples_to_test=self.args.eval_caption_num_examples,
+                        deterministic=self.deterministic,
+                        log_examples_to_output=self.args.eval_caption_log_examples,
+                    )
+                    for k, v in m.items():
+                        logs[f"evaluation/caption/{k}"] = v
             elif getattr(task, "task_kind", "") == "vqa":
-                m = task.evaluate(
-                    gen,
-                    num_examples_to_test=self.args.eval_vqa_num_examples,
-                    deterministic=self.deterministic,
-                    log_examples_to_output=self.args.eval_vqa_log_examples,
-                )
-                for k, v in m.items():
-                    logs[f"evaluation/VQA/{k}"] = v
+                if self.args.eval_vqa_num_examples > 0:
+                    m = task.evaluate(
+                        gen,
+                        num_examples_to_test=self.args.eval_vqa_num_examples,
+                        deterministic=self.deterministic,
+                        log_examples_to_output=self.args.eval_vqa_log_examples,
+                    )
+                    for k, v in m.items():
+                        logs[f"evaluation/VQA/{k}"] = v
         return logs

@@ -75,10 +75,27 @@ def test_image_example_patches_and_slots():
     np.testing.assert_array_equal(pe.patch_pos[1], [64, 128, 0, 128])
     # inner positions cover the 2 patch tokens
     np.testing.assert_array_equal(pe.inner_pos.reshape(2, 4)[0], [0, 1, -1, -1])
-    # patch pixel content round-trips
-    ref_patches, n_h, n_w = extract_patches(img, 16)
+    # patch pixel content round-trips (through the config's wire dtype)
+    ref_patches, n_h, n_w = extract_patches(img, 16, dtype=CFG.patch_np_dtype)
     np.testing.assert_array_equal(pe.patches, ref_patches)
     assert (n_h, n_w) == (2, 1)
+
+
+def test_patch_uint8_wire_dtype():
+    # default schema sends patches as uint8 (raw 8-bit pixels); conversion
+    # rounds-and-clips float sources, and is exact for integral pixels
+    p = SequencePacker(CFG)
+    img = np.array([[17.4, 255.0, 300.0], [0.0, -3.0, 128.6]], np.float32)
+    img = np.tile(img.reshape(1, 2, 3, 1), (1, 8, 16, 3))[:, :16, :16, :]
+    pe = p.pack_example({"images": img, "discrete_actions": np.array([0])})
+    assert pe.patches.dtype == np.uint8
+    vals = np.unique(pe.patches)
+    assert set(vals.tolist()) <= {0, 17, 128, 129, 255}
+    # float32 opt-out preserves fractional pixel values exactly
+    p32 = SequencePacker(CFG.replace(patch_dtype="float32"))
+    pe32 = p32.pack_example({"images": img, "discrete_actions": np.array([0])})
+    assert pe32.patches.dtype == np.float32
+    assert np.any(pe32.patches == np.float32(300.0))
 
 
 def test_extract_patches_row_major():
