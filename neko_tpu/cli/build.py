@@ -29,8 +29,21 @@ def select_platform(args: TrainingArgs) -> None:
         jax.config.update("jax_default_prng_impl", args.rng_impl)
     if getattr(args, "multihost", False):
         # multi-host slice: jax.devices() then spans the whole slice and the
-        # ('data','model') mesh rides ICI (SURVEY.md §2.2/§5.8)
-        jax.distributed.initialize()
+        # ('data','model') mesh rides ICI (SURVEY.md §2.2/§5.8).  On TPU
+        # pods the coordinator is auto-detected from the environment; the
+        # NEKO_COORDINATOR/NEKO_NUM_PROCESSES/NEKO_PROCESS_ID variables
+        # drive explicit multi-process bring-up elsewhere (e.g. the CPU
+        # two-process integration test, tests/test_distributed.py)
+        import os
+
+        kw = {}
+        if os.environ.get("NEKO_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["NEKO_COORDINATOR"],
+                num_processes=int(os.environ["NEKO_NUM_PROCESSES"]),
+                process_id=int(os.environ["NEKO_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
 
 
 def build_control_tasks(

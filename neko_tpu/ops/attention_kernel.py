@@ -77,14 +77,21 @@ def _keep_scale(seed, b, h, n_h, S, dropout_rate):
 
     Deterministic given (seed, b, h) so the backward kernel reproduces the
     exact mask the forward applied (reference applies attn_pdrop on both its
-    manual and SDPA paths, trajectory_gpt2.py:179,249).  The uint32 threshold
-    compare gives P(drop) = dropout_rate to within 2**-32.
-    """
+    manual and SDPA paths, trajectory_gpt2.py:179,249).
+
+    8 random bits per element: one u32 word serves FOUR mask entries
+    (bitcast expands the sublane dim), quartering the in-kernel PRNG work —
+    mask generation was ~1.4 ms/layer/step at the flagship config.  P(drop)
+    is quantized to round(rate*256)/256 and survivors are rescaled by the
+    REALIZED keep probability, so the expectation is exactly preserved —
+    the same documented tradeoff as the residual-dropout path
+    (ops/dropout.py)."""
     pltpu.prng_seed(seed, b * n_h + h)
-    bits = pltpu.bitcast(pltpu.prng_random_bits((S, S)), jnp.uint32)
-    threshold = jnp.uint32(min(int(dropout_rate * 2**32), 2**32 - 1))
-    keep = (bits >= threshold).astype(jnp.float32)
-    return keep * (1.0 / (1.0 - dropout_rate))
+    q = min(int(round(dropout_rate * 256)), 255)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((S // 4, S)), jnp.uint8)
+    # Mosaic has no u8 compare; widen (1 VPU convert vs 4x PRNG words saved)
+    keep = (bits.astype(jnp.int32) >= q).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - q / 256.0))
 
 
 def _attn_fwd_body(q, k, v, start, end, seed, b, h, n_h, *, sm_scale, dropout_rate):

@@ -61,12 +61,20 @@ def _interpret() -> bool:
 
 
 def supported(S: int, hd: int, heads: int) -> bool:
-    """Shapes this kernel serves: block-divisible S, lane-groupable heads."""
+    """Shapes this kernel serves: block-divisible S, lane-groupable heads.
+
+    The S cap is TPU-VERIFIED, not theoretical: on v5e (hd=32, H=24, bf16,
+    dropout) fwd+bwd compiles and runs at S=2048 (18.7 ms, B=8),
+    S=4096 (12.6 ms, B=1) and S=8192 (24.5 ms, B=1), while S=16384 fails
+    Mosaic compile — the dkv pass streams full q+do+k+v copies whose
+    double-buffered VMEM footprint exceeds the 16 MB scoped limit.  Longer
+    contexts are the ring path's job (ops/ring_kernel.py over a 'seq' mesh
+    axis, same per-shard cap)."""
     from neko_tpu.ops.attention_kernel import head_group
 
     return (
         S % BLOCK == 0
-        and S <= 16384
+        and S <= 8192
         and hd <= 128
         and head_group(heads, hd) > 0
     )
@@ -100,10 +108,15 @@ def _keep_scale_blk(seed, b, h, qi, ki, n_heads, nq, nk, Bq, Bk, dropout_rate):
     the q/k block sizes ever diverge."""
     blk_id = ((b * n_heads + h) * nq + qi) * nk + ki
     pltpu.prng_seed(seed, blk_id)
-    bits = pltpu.bitcast(pltpu.prng_random_bits((Bq, Bk)), jnp.uint32)
-    threshold = jnp.uint32(min(int(dropout_rate * 2**32), 2**32 - 1))
-    keep = (bits >= threshold).astype(jnp.float32)
-    return keep * (1.0 / (1.0 - dropout_rate))
+    # 8 random bits per element (one u32 word -> 4 mask entries via the
+    # sublane-expanding bitcast): 4x less PRNG work; P(drop) quantized to
+    # round(rate*256)/256 with survivors rescaled by the REALIZED keep
+    # probability — exactly unbiased (same tradeoff as ops/dropout.py)
+    q8 = min(int(round(dropout_rate * 256)), 255)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((Bq // 4, Bk)), jnp.uint8)
+    # Mosaic has no u8 compare; widen (1 VPU convert vs 4x PRNG words saved)
+    keep = (bits.astype(jnp.int32) >= q8).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - q8 / 256.0))
 
 
 def _dotf(a, b):
@@ -481,7 +494,7 @@ def blocked_attention_bsd(
 
     Same contract as whole_head_attention_bsd (causal, contiguous key
     validity [start, end), optional on-chip-PRNG dropout) but VMEM-bounded
-    for long sequences (S up to 16k per chip).  The dropout mask is seeded
+    for long sequences (S up to 8k per chip, TPU-verified).  The dropout mask is seeded
     per (batch, head, q-block, k-block); it is NOT bit-identical to the
     whole-head kernel's mask — both are valid iid Bernoulli masks.
     """

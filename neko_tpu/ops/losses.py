@@ -128,21 +128,68 @@ def gathered_masked_xent(
     n_chunks = Nt // C
 
     kernel_c = kernel.astype(compute_dtype)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, V), 1)
-
-    @jax.checkpoint
-    def chunk_nll(x, t, m):
-        logits = jnp.einsum(
-            "nd,dv->nv", x, kernel_c, preferred_element_type=jnp.float32
-        )
-        if valid_vocab is not None and valid_vocab < V:
-            logits = jnp.where(col_ids < valid_vocab, logits, -1e30)
-        logz = jax.nn.logsumexp(logits, axis=-1)
-        tl = jnp.take_along_axis(logits, t[:, None], axis=-1)[:, 0]
-        return (jnp.where(m > 0, logz - tl, 0.0)).sum()
 
     total = jnp.zeros((), jnp.float32)
     for i in range(n_chunks):
         sl = slice(i * C, (i + 1) * C)
-        total = total + chunk_nll(h[sl], tgt[sl], valid[sl])
+        total = total + _chunk_nll(
+            h[sl], tgt[sl], valid[sl], kernel_c,
+            valid_vocab if (valid_vocab is not None and valid_vocab < V) else None,
+        )
     return total / jnp.maximum(valid.sum(), 1.0)
+
+
+def _chunk_logits(x, W, valid_vocab):
+    logits = jnp.einsum(
+        "nd,dv->nv", x, W, preferred_element_type=jnp.float32
+    )
+    if valid_vocab is not None:
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, W.shape[-1]), 1)
+        logits = jnp.where(col_ids < valid_vocab, logits, -1e30)
+    return logits
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _chunk_nll(x, t, m, W, valid_vocab):
+    """Chunk NLL-sum with a hand-written VJP.
+
+    `jax.checkpoint` here would recompute the full forward in the backward —
+    including the logsumexp reduction, a pure-HBM-bandwidth pass over the
+    [C, V] fp32 logits (~2.3 ms/step at the flagship config, per the xprof
+    op table in PROFILE.md).  The softmax gradient only needs logz itself,
+    which is C floats: save it, recompute just the logits matmul, and form
+    dlogits = (softmax - onehot) directly."""
+    logits = _chunk_logits(x, W, valid_vocab)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    tl = jnp.take_along_axis(logits, t[:, None], axis=-1)[:, 0]
+    return (jnp.where(m > 0, logz - tl, 0.0)).sum()
+
+
+def _chunk_nll_fwd(x, t, m, W, valid_vocab):
+    logits = _chunk_logits(x, W, valid_vocab)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    tl = jnp.take_along_axis(logits, t[:, None], axis=-1)[:, 0]
+    out = (jnp.where(m > 0, logz - tl, 0.0)).sum()
+    return out, (x, t, m, W, logz)
+
+
+def _chunk_nll_bwd(valid_vocab, res, g):
+    x, t, m, W, logz = res
+    V = W.shape[-1]
+    logits = _chunk_logits(x, W, valid_vocab)
+    p = jnp.exp(logits - logz[:, None])          # softmax (masked cols -> 0)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, V), 1) == t[:, None]
+    )
+    scale = (m * g)[:, None]
+    dlogits = ((p - onehot.astype(p.dtype)) * scale).astype(x.dtype)
+    dx = jnp.einsum(
+        "nv,dv->nd", dlogits, W, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    dW = jnp.einsum(
+        "nd,nv->dv", x, dlogits, preferred_element_type=jnp.float32
+    ).astype(W.dtype)
+    return dx, None, None, dW
+
+
+_chunk_nll.defvjp(_chunk_nll_fwd, _chunk_nll_bwd)

@@ -404,27 +404,34 @@ class Trainer:
     # ---------------------------------------------------------- evaluation
     def evaluate(self) -> Dict:
         logs: Dict = {}
+        params = self.state.params
         if self.proc_count > 1:
-            # in-training task evaluation drives per-host decode loops that
-            # can't consume pod-sharded params; multi-host runs evaluate
-            # offline (eval.py on a checkpoint) instead
-            if not getattr(self, "_warned_mh_eval", False):
-                self._warned_mh_eval = True
-                if self.is_main_process:
-                    print(
-                        "[neko-tpu] multi-host run: skipping in-training "
-                        "task evaluation (use eval.py on checkpoints)"
-                    )
-            return logs
+            # multi-host: the decode-loop eval runs per-host and cannot
+            # consume pod-sharded params, so gather a full replica to every
+            # host (a collective — ALL processes must reach this line) and
+            # evaluate on the main process only.  The reference evaluates
+            # in-loop under DDP where every rank already holds a replica
+            # (/root/reference/gato/training/trainer.py:83-103).
+            from jax.experimental import multihost_utils
+
+            # per-leaf: only leaves with remote shards need the collective;
+            # fully-addressable leaves pass through (process_allgather would
+            # stack a bogus leading axis on those)
+            params = jax.tree_util.tree_map(
+                lambda x: x
+                if getattr(x, "is_fully_addressable", True)
+                else multihost_utils.process_allgather(x, tiled=True),
+                params,
+            )
+            if not self.is_main_process:
+                return logs
         # reuse one Generator so its jitted prefill/decode stay cached
         # (a fresh instance would recompile every evaluation); hold the
         # sampling lock: task RNGs / h5 handles are shared with the
         # prefetch thread
         if self._generator is None:
-            self._generator = Generator(
-                self.ctx.model, self.state.params, self.packer
-            )
-        self._generator.set_params(self.state.params)
+            self._generator = Generator(self.ctx.model, params, self.packer)
+        self._generator.set_params(params)
         gen = self._generator
         self._sample_lock.acquire()
         try:

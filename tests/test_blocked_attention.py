@@ -18,7 +18,8 @@ from neko_tpu.ops.blocked_attention import blocked_attention_bsd, supported
 def test_supported_predicate():
     assert supported(2048, 32, 24)
     assert supported(1024, 32, 8)
-    assert supported(16384, 64, 8)
+    assert supported(8192, 64, 8)
+    assert not supported(16384, 64, 8)      # beyond the TPU-verified VMEM cap
     assert not supported(1000, 32, 24)      # not block-divisible
     assert not supported(32768, 32, 24)     # beyond cap
     assert not supported(2048, 32, 6)       # heads not lane-groupable

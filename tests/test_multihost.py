@@ -132,3 +132,54 @@ def test_trainer_uses_local_slice(monkeypatch, tmp_path):
     if "loss_pos" in out:
         used = out["loss_pos"][:, 0] != 8
         assert ((out["loss_pos"][used, 0] >= 4) & (out["loss_pos"][used, 0] < 6)).all()
+
+
+def test_trainer_multihost_eval_on_main_process(monkeypatch, tmp_path):
+    """Multi-host in-training eval: params are gathered (collective) and the
+    MAIN process emits evaluation metrics; other processes return {} after
+    participating in the gather.  (Round-2 behavior skipped eval entirely on
+    pods — reference evaluates in-loop under DDP, trainer.py:83-103.)"""
+    from neko_tpu.config import ModelConfig
+    from neko_tpu.parallel.mesh import create_mesh
+    from neko_tpu.tasks.text import TextTask
+    from neko_tpu.training.arguments import TrainingArgs
+    from neko_tpu.training.train_state import OptimizerConfig, TrainContext
+    from neko_tpu.training.trainer import Trainer
+
+    cfg = ModelConfig(
+        embed_dim=32, layers=1, heads=2, context_len=32, max_patches=0,
+        dtype="float32", text_tokens=256, continuous_tokens=32,
+        discrete_tokens=32,
+    )
+    opt = OptimizerConfig(
+        learning_rate=1e-3, init_lr=1e-5, warmup_steps=2, training_steps=10
+    )
+    mesh = create_mesh(model=1)
+    ctx = TrainContext(cfg, opt, mesh, seed=0)
+    args = TrainingArgs(
+        batch_size=8, sequence_length=32, text_prop=1.0,
+        text_datasets=["synthetic"], text_datasets_paths=["synthetic"],
+        save_model=False, log_jsonl=False, training_steps=10,
+        eval_text_num_examples=2, eval_episodes=0,
+    )
+    task = TextTask(
+        ["synthetic"], ["synthetic"], context_length=32,
+        tokenizer_model="gpt2", seed=0,
+    )
+
+    # init the state single-process (the mocked process_count only governs
+    # the Trainer's view)
+    real_trainer = Trainer(ctx, [task], "mh_eval_pre", args)
+    real_trainer.init_state()
+    state = real_trainer.state
+
+    monkeypatch.setattr(mh, "process_info", lambda: (0, 2))
+    t_main = Trainer(ctx, [task], "mh_eval_main", args)
+    t_main.state = state
+    logs = t_main.evaluate()
+    assert any(k.startswith("evaluation/text/") for k in logs), logs
+
+    monkeypatch.setattr(mh, "process_info", lambda: (1, 2))
+    t_other = Trainer(ctx, [task], "mh_eval_other", args)
+    t_other.state = state
+    assert t_other.evaluate() == {}
