@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from neko_tpu.config import ModelConfig
+from neko_tpu.ops.gelu import gelu_erf
 
 _INIT = nn.initializers.normal(stddev=0.02)
 
@@ -56,7 +57,7 @@ class ResidualBlockV2(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = nn.gelu(x, approximate=False)
+        h = gelu_erf(x)
         h = nn.Conv(
             self.mid_channels,
             (3, 3),
@@ -73,7 +74,7 @@ class ResidualBlockV2(nn.Module):
             param_dtype=self.param_dtype,
             name="gn2",
         )(h)
-        h = nn.gelu(h, approximate=False)
+        h = gelu_erf(h)
         h = nn.Conv(
             3,
             (3, 3),

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 
 from neko_tpu.config import ModelConfig
 from neko_tpu.ops.dropout import Dropout
+from neko_tpu.ops.gelu import gelu_erf
 
 _INIT = nn.initializers.normal(stddev=0.02)
 _BIG_NEG = -1e9
@@ -341,8 +342,13 @@ class MLP(nn.Module):
             name="c_fc",
         )(x)
         # 'gelu' = exact erf gelu (HF ACT2FN['gelu'], the reference's fresh-
-        # model default); 'gelu_new' = tanh approximation (pretrained GPT-2)
-        h = nn.gelu(h, approximate=(cfg.activation_fn == "gelu_new"))
+        # model default), via the fast A&S erf (|err|<=1.5e-7; XLA's exact
+        # erf cost 13 ms/step on TPU — see ops/gelu.py);
+        # 'gelu_new' = tanh approximation (pretrained GPT-2)
+        if cfg.activation_fn == "gelu_new":
+            h = nn.gelu(h, approximate=True)
+        else:
+            h = gelu_erf(h)
         if cfg.activation_fn == "geglu":
             gate = nn.Dense(
                 inner, kernel_init=_INIT, dtype=dtype,

@@ -94,39 +94,103 @@ def _keep_scale(seed, b, h, n_h, S, dropout_rate):
     return keep * (1.0 / (1.0 - q / 256.0))
 
 
+def _mask_blk(scores, start, end, r0, c0):
+    """Causal + validity mask for a block at GLOBAL offset (r0, c0)."""
+    R, C = scores.shape
+    row = jax.lax.broadcasted_iota(jnp.int32, (R, C), 0) + r0
+    col = jax.lax.broadcasted_iota(jnp.int32, (R, C), 1) + c0
+    ok = (col <= row) & (col >= start) & (col < end)
+    return jnp.where(ok, scores, _NEG)
+
+
+def _split_ok(S: int) -> bool:
+    """The 2x2 causal split wants 128-aligned halves."""
+    return S % 256 == 0
+
+
 def _attn_fwd_body(q, k, v, start, end, seed, b, h, n_h, *, sm_scale, dropout_rate):
-    """Shared forward math on a (S, hd) head: masked softmax attention."""
+    """Shared forward math on a (S, hd) head: masked softmax attention.
+
+    For 256-aligned S the computation splits causally into a 2x2 block
+    structure: the lower-half queries can only attend the lower-half keys,
+    so the (q_lo, k_hi) quarter of the score/value matmuls — pure masked
+    work in the full-matrix formulation — is skipped (25% of attention
+    FLOPs).  The dropout mask is still generated whole and sliced, so masks
+    stay BIT-IDENTICAL to the unsplit path (and to the bhsd layout)."""
     S = q.shape[-2]
-    scores = _dot(q, k.T) * sm_scale
-    scores = _mask(scores, start, end, S)
-    p = _softmax(scores)
-    if dropout_rate > 0.0:
-        p = p * _keep_scale(seed, b, h, n_h, S, dropout_rate)
-    return _dot(p.astype(q.dtype), v)
+    ks = (
+        _keep_scale(seed, b, h, n_h, S, dropout_rate)
+        if dropout_rate > 0.0
+        else None
+    )
+    if not _split_ok(S):
+        scores = _mask(_dot(q, k.T) * sm_scale, start, end, S)
+        p = _softmax(scores)
+        if ks is not None:
+            p = p * ks
+        return _dot(p.astype(q.dtype), v)
+    S2 = S // 2
+    # lower rows [0, S2): causal -> keys [0, S2) only
+    s_lo = _mask_blk(_dot(q[:S2], k[:S2].T) * sm_scale, start, end, 0, 0)
+    p_lo = _softmax(s_lo)
+    if ks is not None:
+        p_lo = p_lo * ks[:S2, :S2]
+    o_lo = _dot(p_lo.astype(q.dtype), v[:S2])
+    # upper rows [S2, S): all keys
+    s_hi = _mask_blk(_dot(q[S2:], k.T) * sm_scale, start, end, S2, 0)
+    p_hi = _softmax(s_hi)
+    if ks is not None:
+        p_hi = p_hi * ks[S2:, :]
+    o_hi = _dot(p_hi.astype(q.dtype), v)
+    return jnp.concatenate([o_lo, o_hi], axis=0)
 
 
-def _attn_bwd_body(q, k, v, do, start, end, seed, b, h, n_h, *, sm_scale, dropout_rate):
-    """Shared backward math on a (S, hd) head: recompute p, produce dq/dk/dv."""
-    S = q.shape[-2]
-    scores = _dot(q, k.T) * sm_scale
-    scores = _mask(scores, start, end, S)
-    p = _softmax(scores)
-    if dropout_rate > 0.0:
-        ks = _keep_scale(seed, b, h, n_h, S, dropout_rate)
-        y = p * ks  # dropped+rescaled probabilities actually used: o = y v
-    else:
-        ks = None
-        y = p
-    # dv = Y^T do
-    dv = _dot(y.astype(q.dtype).T, do)
-    # dY = do v^T ; dP = dY * keep_scale ; dS = P * (dP - rowsum(dP * P)) * scale
+def _blk_grads(q, do, k, v, start, end, r0, ks, *, sm_scale, in_dtype):
+    """dq/dk/dv of one (q rows at global offset r0) x (k cols at 0) block."""
+    s = _mask_blk(_dot(q, k.T) * sm_scale, start, end, r0, 0)
+    p = _softmax(s)
+    y = p * ks if ks is not None else p
+    dv = _dot(y.astype(in_dtype).T, do)
     dp = _dot(do, v.T)
     if ks is not None:
         dp = dp * ks
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    ds = (p * (dp - delta) * sm_scale).astype(in_dtype)
     dq = _dot(ds, k)
     dk = _dot(ds.T, q)
+    return dq, dk, dv
+
+
+def _attn_bwd_body(q, k, v, do, start, end, seed, b, h, n_h, *, sm_scale, dropout_rate):
+    """Shared backward math on a (S, hd) head: recompute p, produce dq/dk/dv.
+    Same 2x2 causal split as the forward for 256-aligned S."""
+    S = q.shape[-2]
+    ks = (
+        _keep_scale(seed, b, h, n_h, S, dropout_rate)
+        if dropout_rate > 0.0
+        else None
+    )
+    if not _split_ok(S):
+        dq, dk, dv = _blk_grads(
+            q, do, k, v, start, end, 0, ks,
+            sm_scale=sm_scale, in_dtype=q.dtype,
+        )
+        return dq, dk, dv
+    S2 = S // 2
+    dq_lo, dk1, dv1 = _blk_grads(
+        q[:S2], do[:S2], k[:S2], v[:S2], start, end, 0,
+        ks[:S2, :S2] if ks is not None else None,
+        sm_scale=sm_scale, in_dtype=q.dtype,
+    )
+    dq_hi, dk2, dv2 = _blk_grads(
+        q[S2:], do[S2:], k, v, start, end, S2,
+        ks[S2:, :] if ks is not None else None,
+        sm_scale=sm_scale, in_dtype=q.dtype,
+    )
+    dq = jnp.concatenate([dq_lo, dq_hi], axis=0)
+    pad = jnp.zeros_like(dk1)
+    dk = dk2 + jnp.concatenate([dk1, pad], axis=0)
+    dv = dv2 + jnp.concatenate([dv1, pad], axis=0)
     return dq, dk, dv
 
 

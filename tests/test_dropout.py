@@ -62,3 +62,21 @@ def test_split_proj_matches_dense():
     np.testing.assert_allclose(np.asarray(q), np.asarray(rq), atol=1e-6)
     np.testing.assert_allclose(np.asarray(k), np.asarray(rk), atol=1e-6)
     np.testing.assert_allclose(np.asarray(v), np.asarray(rv), atol=1e-6)
+
+
+def test_gelu_erf_matches_exact():
+    """A&S-rational GELU tracks XLA's exact-erf GELU to <1e-6 absolute.
+
+    The MLP/ResNet activation uses ops/gelu.py instead of jax.nn.gelu
+    (XLA's exact erf cost 13 ms of the 97 ms flagship TPU step); this pins
+    the accuracy claim that justifies the swap.
+    """
+    from neko_tpu.ops.gelu import gelu_erf
+
+    x = jnp.linspace(-8.0, 8.0, 4097, dtype=jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    fast = gelu_erf(x)
+    np.testing.assert_allclose(fast, exact, atol=1e-6, rtol=0)
+    # bf16 inputs keep bf16 outputs
+    xb = x.astype(jnp.bfloat16)
+    assert gelu_erf(xb).dtype == jnp.bfloat16
