@@ -80,3 +80,22 @@ def test_gelu_erf_matches_exact():
     # bf16 inputs keep bf16 outputs
     xb = x.astype(jnp.bfloat16)
     assert gelu_erf(xb).dtype == jnp.bfloat16
+
+
+def test_gelu_erf_custom_vjp_grad():
+    """gelu_erf's hand-derived VJP matches autodiff of the exact gelu.
+
+    The custom VJP saves gelu'(x) computed in the forward pass (ops/gelu.py);
+    this pins d/dx [x*Phi(x)] = Phi(x) + x*phi(x) against jax.nn.gelu's
+    autodiff, and the saved-residual path against finite differences.
+    """
+    from neko_tpu.ops.gelu import gelu_erf
+
+    x = jnp.linspace(-6.0, 6.0, 2049, dtype=jnp.float32)
+    g_fast = jax.vmap(jax.grad(gelu_erf))(x)
+    g_exact = jax.vmap(jax.grad(lambda z: jax.nn.gelu(z, approximate=False)))(x)
+    np.testing.assert_allclose(g_fast, g_exact, atol=2e-6, rtol=0)
+    # cotangent scaling flows through the residual
+    y, vjp = jax.vjp(gelu_erf, x)
+    (gx,) = vjp(2.0 * jnp.ones_like(x))
+    np.testing.assert_allclose(gx, 2.0 * g_fast, atol=1e-6, rtol=1e-6)
