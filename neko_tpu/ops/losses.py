@@ -149,6 +149,22 @@ def _chunk_logits(x, W, valid_vocab):
     return logits
 
 
+def _logz_tl(x, t, W, valid_vocab):
+    """(logsumexp, target logit) per row.
+
+    A fused Pallas kernel computing the logits tile-by-tile in VMEM with an
+    online logsumexp (ops/loss_kernel.py) was built, verified, and measured
+    SLOWER than this XLA path on v5e (1.545 vs 1.461 ms per 2048x52480
+    call): the forward is compute-bound — XLA hides the [C, V] fp32
+    write/read behind the matmul, while the in-kernel exp/max/sum VPU work
+    contends with the MXU tiles.  The kernel and its parity tests are kept
+    (tests/test_loss_kernel.py) as the measured record."""
+    logits = _chunk_logits(x, W, valid_vocab)
+    logz = jax.nn.logsumexp(logits, axis=-1)
+    tl = jnp.take_along_axis(logits, t[:, None], axis=-1)[:, 0]
+    return logz, tl
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _chunk_nll(x, t, m, W, valid_vocab):
     """Chunk NLL-sum with a hand-written VJP.
@@ -158,17 +174,16 @@ def _chunk_nll(x, t, m, W, valid_vocab):
     [C, V] fp32 logits (~2.3 ms/step at the flagship config, per the xprof
     op table in PROFILE.md).  The softmax gradient only needs logz itself,
     which is C floats: save it, recompute just the logits matmul, and form
-    dlogits = (softmax - onehot) directly."""
-    logits = _chunk_logits(x, W, valid_vocab)
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    tl = jnp.take_along_axis(logits, t[:, None], axis=-1)[:, 0]
+    dlogits = (softmax - onehot) directly.
+
+    The (logz, target-logit) pair comes from _logz_tl — on TPU a fused
+    Pallas kernel that never materializes the [C, V] fp32 logits."""
+    logz, tl = _logz_tl(x, t, W, valid_vocab)
     return (jnp.where(m > 0, logz - tl, 0.0)).sum()
 
 
 def _chunk_nll_fwd(x, t, m, W, valid_vocab):
-    logits = _chunk_logits(x, W, valid_vocab)
-    logz = jax.nn.logsumexp(logits, axis=-1)
-    tl = jnp.take_along_axis(logits, t[:, None], axis=-1)[:, 0]
+    logz, tl = _logz_tl(x, t, W, valid_vocab)
     out = (jnp.where(m > 0, logz - tl, 0.0)).sum()
     return out, (x, t, m, W, logz)
 
