@@ -149,7 +149,24 @@ def build_batch(packer, cfg, batch_size, seed=0):
     return pack(packer, cfg, build_examples(cfg, batch_size, seed), batch_size)
 
 
+# Named model scales.  'flagship' is the headline config (the driver runs
+# bench.py with no args); 'medium' approximates Gato-medium (364M body:
+# 1536d/12L/12h -> hd=128, a full-depth MXU contraction vs the flagship's
+# hd=32) to show MFU at a production-serving scale.
+CONFIGS = {
+    "flagship": dict(embed_dim=768, layers=6, heads=24, batch_per_chip=16),
+    "medium": dict(embed_dim=1536, layers=12, heads=12, batch_per_chip=8),
+}
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=sorted(CONFIGS), default="flagship")
+    args = ap.parse_args()
+    shape = CONFIGS[args.config]
+
     _configure_jax()
     import jax
 
@@ -165,9 +182,9 @@ def main():
 
     ctx_ts_img = 1024 // 38
     cfg = ModelConfig(
-        embed_dim=768,
-        layers=6,
-        heads=24,
+        embed_dim=shape["embed_dim"],
+        layers=shape["layers"],
+        heads=shape["heads"],
         dropout=0.1,
         context_len=1024,
         max_patches=ctx_ts_img * 36,
@@ -179,7 +196,7 @@ def main():
     ctx = TrainContext(cfg, opt, mesh, seed=0)
     packer = SequencePacker(cfg)
 
-    batch_size = 16 * n_dev
+    batch_size = shape["batch_per_chip"] * n_dev
     arrays = build_batch(packer, cfg, batch_size)
     batch = shd.shard_batch(mesh, to_device_batch(arrays))
 
@@ -233,8 +250,9 @@ def main():
     pf.close()
     e2e_per_chip = tokens_per_step * n_e2e / dt_e2e / n_dev
 
+    label = f"{cfg.embed_dim}d{cfg.layers}L"
     out = {
-        "metric": "multimodal_train_tokens_per_sec_per_chip_768d6L",
+        "metric": f"multimodal_train_tokens_per_sec_per_chip_{label}",
         "value": round(per_chip, 1),
         "unit": "tokens/sec/chip",
         "end_to_end": round(e2e_per_chip, 1),
