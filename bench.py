@@ -156,6 +156,11 @@ def build_batch(packer, cfg, batch_size, seed=0):
 CONFIGS = {
     "flagship": dict(embed_dim=768, layers=6, heads=24, batch_per_chip=16),
     "medium": dict(embed_dim=1536, layers=12, heads=12, batch_per_chip=8),
+    # k=2048: context beyond the whole-head kernel's VMEM cap — exercises
+    # the blocked flash kernel (ops/blocked_attention.py) in the train step
+    "long": dict(
+        embed_dim=768, layers=6, heads=24, batch_per_chip=8, context_len=2048
+    ),
 }
 
 
@@ -180,13 +185,14 @@ def main():
     n_dev = len(jax.devices())
     mesh = create_mesh(model=1)
 
-    ctx_ts_img = 1024 // 38
+    context_len = shape.get("context_len", 1024)
+    ctx_ts_img = context_len // 38
     cfg = ModelConfig(
         embed_dim=shape["embed_dim"],
         layers=shape["layers"],
         heads=shape["heads"],
         dropout=0.1,
-        context_len=1024,
+        context_len=context_len,
         max_patches=ctx_ts_img * 36,
         dtype="bfloat16",
     )
@@ -251,6 +257,8 @@ def main():
     e2e_per_chip = tokens_per_step * n_e2e / dt_e2e / n_dev
 
     label = f"{cfg.embed_dim}d{cfg.layers}L"
+    if cfg.context_len != 1024:
+        label += f"_k{cfg.context_len}"
     out = {
         "metric": f"multimodal_train_tokens_per_sec_per_chip_{label}",
         "value": round(per_chip, 1),
