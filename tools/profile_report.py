@@ -66,6 +66,9 @@ def report(trace_dir, step_ms=None):
 
     files = glob.glob(os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb"))
     assert files, f"no xplane under {trace_dir}"
+    # a trace dir accumulates one session subdir per start_trace; feeding
+    # mixed sessions to the converter yields a None table — newest only
+    files = [max(files, key=os.path.getmtime)]
     data, _ = rtd.xspace_to_tool_data(files, "framework_op_stats", {})
     rows = json.loads(data) if isinstance(data, (str, bytes)) else data
     # framework_op_stats returns a DataTable json: first element has cols/rows
