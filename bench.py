@@ -244,10 +244,13 @@ def main():
         return shd.shard_batch(mesh, from_arrays(arrays))
 
     pf = HostPrefetcher(produce, depth=2)
-    for _ in range(3):
+    for _ in range(5):
         state, loss = ctx.train_step(state, pf.get())
     float(loss)
-    n_e2e = 15
+    # 40 timed steps (~3.4 s at the flagship config): at 15 a single
+    # transient host stall (GIL / tunnel hiccup) cost ~15% and made
+    # e2e_over_device_step swing 0.83-0.97 run to run.
+    n_e2e = 40
     t0 = time.perf_counter()
     for _ in range(n_e2e):
         state, loss = ctx.train_step(state, pf.get())
