@@ -26,9 +26,13 @@ def main():
     from neko_tpu.models.policy import NekoModel
     from neko_tpu.data.batch import to_device_batch
 
+    import sys
+
+    kv = "int8" if "--kv_quant" in sys.argv else "native"
     cfg = ModelConfig(
         embed_dim=768, layers=6, heads=24, dropout=0.0,
         context_len=1024, max_patches=0, dtype="bfloat16",
+        kv_cache_dtype=kv,
     )
     model = NekoModel(cfg)
     packer = SequencePacker(cfg)
@@ -62,22 +66,26 @@ def main():
 
     run()   # compile full scan
     run1()  # compile 1-token variant
-    n_runs = 3
-    t0 = time.perf_counter()
+    # Per-run medians: the axon tunnel adds multi-ms dispatch jitter, so
+    # a 3-run mean over a ~80 ms workload swung >40% run to run.
+    n_runs = 10
+    dts, pres = [], []
     for _ in range(n_runs):
+        t0 = time.perf_counter()
         (toks,) = run()
-    dt = (time.perf_counter() - t0) / n_runs
-
-    t0 = time.perf_counter()
-    for _ in range(n_runs):
+        dts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
         run1()
-    prefill = (time.perf_counter() - t0) / n_runs
+        pres.append(time.perf_counter() - t0)
+    dt = float(np.median(dts))
+    prefill = float(np.median(pres))
 
     per_token_ms = (dt - prefill) / (GEN - 1) * 1000
     print(
         json.dumps(
             {
                 "metric": "batched_decode",
+                "kv_cache_dtype": kv,
                 "batch": B,
                 "prompt_len": P_LEN,
                 "prefill_ms": round(prefill * 1000, 1),

@@ -194,6 +194,7 @@ def model_config_from_args(args: TrainingArgs, max_patches: int) -> ModelConfig:
         max_patches=max_patches,
         dtype=dtype,
         attention_impl="flash" if args.flash else "xla",
+        kv_cache_dtype=args.kv_cache_dtype,
         remat=args.remat,
         lora_r=args.lora_r if args.lora else 0,
         lora_alpha=args.lora_alpha,

@@ -123,6 +123,17 @@ class ModelConfig:
     # and the XLA reference path elsewhere.
     attention_impl: str = "auto"
 
+    # KV-cache storage dtype for the serving path (prefill/decode/extend
+    # cache modes; no effect on training).  'native' keeps cache rows in
+    # the activation dtype — bit-exact generation, the default.  'int8'
+    # stores symmetric per-row-quantized int8 keys/values plus fp32
+    # scales: the decode step is HBM-bandwidth-bound on the cache streams
+    # (README "Roadmap"), so halving the bytes read per token is the one
+    # remaining serving lever after three rejected kernel designs.  The
+    # per-row scales fold into the [B,H,Sq,Sk] logits/weights, so the
+    # cache is never dequantized into a materialized bf16 copy.
+    kv_cache_dtype: str = "native"
+
     # Gradient checkpointing (remat) of transformer blocks.
     remat: bool = False
 

@@ -57,6 +57,37 @@ def _dot_product_attention(q, k, v, bias, dropout_rng, dropout_rate, determinist
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+def _quant_rows(x):
+    """Symmetric per-row int8 quantization: [..., hd] -> (int8, fp32 scale).
+
+    scale = max|row| / 127; an all-zero row gets scale 0 and quantizes to
+    zeros (the 1e-30 floor only guards the divide)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    q = jnp.round(xf / jnp.maximum(scale[..., None], 1e-30))
+    return q.astype(jnp.int8), scale
+
+
+def _quant_cache_attention(q, kq, ks, vq, vs, bias):
+    """Decode attention over an int8 per-row-quantized KV cache.
+
+    kq/vq: int8 [B, H, Sk, hd]; ks/vs: fp32 [B, H, Sk] row scales.  The
+    int8->activation-dtype converts feed the einsums directly (halving
+    the HBM bytes streamed per decode step vs a bf16 cache), and the row
+    scales fold into arrays already materialized at [B, H, Sq, Sk] — the
+    logits (key scales) and the softmax weights (value scales) — so no
+    dequantized copy of the cache ever exists."""
+    hd = q.shape[-1]
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, kq.astype(q.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * (hd ** -0.5) * ks[:, :, None, :] + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    weights = (weights * vs[:, :, None, :]).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, vq.astype(q.dtype))
+
+
 class SplitProj(nn.Module):
     """Fused-parameter, split-output projection: one [D, n*features] kernel
     (param-compatible with `nn.Dense(n*features)` — same path, shape, init)
@@ -203,14 +234,25 @@ class Attention(nn.Module):
             assert decode_index is not None and extend_clear is not None
             clear_start, clear_len, buffer_len = extend_clear
             Sc = cfg.context_len
+            quant = cfg.kv_cache_dtype == "int8"
+            cache_dtype = jnp.int8 if quant else dtype
             ck = self.variable(
                 "cache", "key",
-                lambda: jnp.zeros((B, H, Sc, hd), dtype),
+                lambda: jnp.zeros((B, H, Sc, hd), cache_dtype),
             )
             cv = self.variable(
                 "cache", "value",
-                lambda: jnp.zeros((B, H, Sc, hd), dtype),
+                lambda: jnp.zeros((B, H, Sc, hd), cache_dtype),
             )
+            if quant:
+                cks = self.variable(
+                    "cache", "key_scale",
+                    lambda: jnp.zeros((B, H, Sc), jnp.float32),
+                )
+                cvs = self.variable(
+                    "cache", "value_scale",
+                    lambda: jnp.zeros((B, H, Sc), jnp.float32),
+                )
             cm = self.variable(
                 "cache", "mask", lambda: jnp.zeros((B, Sc), jnp.bool_)
             )
@@ -222,12 +264,15 @@ class Attention(nn.Module):
             wpos = (
                 decode_index[:, None] + jnp.arange(S)[None, :]
             ) % buffer_len  # [B, K]
-            ck.value = ck.value.at[rows[:, None], :, wpos].set(
-                k.transpose(0, 2, 1, 3)
-            )
-            cv.value = cv.value.at[rows[:, None], :, wpos].set(
-                v.transpose(0, 2, 1, 3)
-            )
+            new_k = k.transpose(0, 2, 1, 3)  # [B, K, H, hd]
+            new_v = v.transpose(0, 2, 1, 3)
+            if quant:
+                new_k, ks_ = _quant_rows(new_k)
+                new_v, vs_ = _quant_rows(new_v)
+                cks.value = cks.value.at[rows[:, None], :, wpos].set(ks_)
+                cvs.value = cvs.value.at[rows[:, None], :, wpos].set(vs_)
+            ck.value = ck.value.at[rows[:, None], :, wpos].set(new_k)
+            cv.value = cv.value.at[rows[:, None], :, wpos].set(new_v)
             mask_val = mask_val.at[rows[:, None], wpos].set(True)
             cm.value = mask_val
             # chunk-internal causality: query i may not attend chunk tokens
@@ -239,39 +284,77 @@ class Attention(nn.Module):
             bias = jnp.where(allowed[:, None], 0.0, _BIG_NEG).astype(
                 jnp.float32
             )
-            out = _dot_product_attention(
-                q, ck.value, cv.value, bias, None, 0.0, True
-            )
+            if quant:
+                out = _quant_cache_attention(
+                    q, ck.value, cks.value, cv.value, cvs.value, bias
+                )
+            else:
+                out = _dot_product_attention(
+                    q, ck.value, cv.value, bias, None, 0.0, True
+                )
         elif mode == "decode":
             assert S == 1, "decode mode consumes one token at a time"
+            quant = cfg.kv_cache_dtype == "int8"
+            cache_dtype = jnp.int8 if quant else dtype
             ck = self.variable(
                 "cache", "key",
-                lambda: jnp.zeros((B, H, cfg.context_len, hd), dtype),
+                lambda: jnp.zeros((B, H, cfg.context_len, hd), cache_dtype),
             )
             cv = self.variable(
                 "cache", "value",
-                lambda: jnp.zeros((B, H, cfg.context_len, hd), dtype),
+                lambda: jnp.zeros((B, H, cfg.context_len, hd), cache_dtype),
             )
+            if quant:
+                cks = self.variable(
+                    "cache", "key_scale",
+                    lambda: jnp.zeros((B, H, cfg.context_len), jnp.float32),
+                )
+                cvs = self.variable(
+                    "cache", "value_scale",
+                    lambda: jnp.zeros((B, H, cfg.context_len), jnp.float32),
+                )
             cm = self.variable(
                 "cache", "mask", lambda: jnp.zeros((B, cfg.context_len), jnp.bool_)
             )
             rows = jnp.arange(B)
-            ck.value = ck.value.at[rows, :, decode_index].set(k[:, :, 0])
-            cv.value = cv.value.at[rows, :, decode_index].set(v[:, :, 0])
+            new_k, new_v = k[:, :, 0], v[:, :, 0]  # [B, H, hd]
+            if quant:
+                new_k, ks_ = _quant_rows(new_k)
+                new_v, vs_ = _quant_rows(new_v)
+                cks.value = cks.value.at[rows, :, decode_index].set(ks_)
+                cvs.value = cvs.value.at[rows, :, decode_index].set(vs_)
+            ck.value = ck.value.at[rows, :, decode_index].set(new_k)
+            cv.value = cv.value.at[rows, :, decode_index].set(new_v)
             cm.value = cm.value.at[rows, decode_index].set(True)
-            k_full, v_full = ck.value, cv.value
             bias = jnp.where(cm.value[:, None, None, :], 0.0, _BIG_NEG).astype(
                 jnp.float32
             )
-            out = _dot_product_attention(
-                q, k_full, v_full, bias, None, 0.0, True
-            )
+            if quant:
+                out = _quant_cache_attention(
+                    q, ck.value, cks.value, cv.value, cvs.value, bias
+                )
+            else:
+                out = _dot_product_attention(
+                    q, ck.value, cv.value, bias, None, 0.0, True
+                )
         else:
             if mode == "prefill":
-                ck = self.variable("cache", "key", lambda: k)
-                cv = self.variable("cache", "value", lambda: v)
-                cm = self.variable("cache", "mask", lambda: input_mask)
-                ck.value, cv.value, cm.value = k, v, input_mask
+                if cfg.kv_cache_dtype == "int8":
+                    # quantize what is STORED; the prefill attention below
+                    # still runs on the full-precision local k/v, so
+                    # prefill logits are unchanged by kv_cache_dtype
+                    kq_, ks_ = _quant_rows(k)
+                    vq_, vs_ = _quant_rows(v)
+                    self.variable("cache", "key", lambda: kq_).value = kq_
+                    self.variable("cache", "value", lambda: vq_).value = vq_
+                    self.variable("cache", "key_scale", lambda: ks_).value = ks_
+                    self.variable("cache", "value_scale", lambda: vs_).value = vs_
+                    self.variable("cache", "mask", lambda: input_mask).value = input_mask
+                else:
+                    ck = self.variable("cache", "key", lambda: k)
+                    cv = self.variable("cache", "value", lambda: v)
+                    cm = self.variable("cache", "mask", lambda: input_mask)
+                    ck.value, cv.value, cm.value = k, v, input_mask
 
             use_flash = (
                 not use_seq_parallel

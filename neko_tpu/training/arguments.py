@@ -136,6 +136,7 @@ class TrainingArgs:
     multihost: bool = field(default=False, metadata={"help": "Call jax.distributed.initialize() at startup (multi-host TPU slices)."})
     rng_impl: Literal["threefry", "rbg", "unsafe_rbg"] = field(default="unsafe_rbg", metadata={"help": "JAX PRNG implementation. unsafe_rbg (hardware RNG, the MaxText production default) makes dropout ~12ms/step cheaper at 768d/6L; threefry gives fully reproducible keys."})
     log_jsonl: bool = field(default=True, metadata={"help": "Append metrics to <save_dir>/<exp>/metrics.jsonl."})
+    kv_cache_dtype: Literal["native", "int8"] = field(default="native", metadata={"help": "KV-cache storage for the decode/serving path: 'native' is bit-exact; 'int8' stores per-row-quantized keys/values + fp32 scales, halving the HBM bytes the bandwidth-bound decode step streams (no effect on training)."})
 
 
 def resolve_parallel_episodes(requested: int, n_iterations: int) -> int:
