@@ -78,6 +78,11 @@ def _quant_cache_attention(q, kq, ks, vq, vs, bias):
     logits (key scales) and the softmax weights (value scales) — so no
     dequantized copy of the cache ever exists."""
     hd = q.shape[-1]
+    # NOTE: pure int8 x int8 dots (quantize q and the value-scaled softmax
+    # weights per row — exact scale folding, preferred_element_type=int32)
+    # were measured at 2.07 ms/token vs 0.97 for this convert version: XLA
+    # does not map these [B,H,1,S] matvec shapes onto a fast int8 MXU path
+    # on this chip and emulates the wide-int accumulation instead.
     logits = jnp.einsum(
         "bhqd,bhkd->bhqk", q, kq.astype(q.dtype),
         preferred_element_type=jnp.float32,
