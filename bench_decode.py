@@ -7,6 +7,10 @@ prints prefill latency, per-token decode latency, and decode tokens/sec.
 For scale: the reference re-runs the FULL context per generated token with
 no KV cache (gato_policy.py:444-445), i.e. its per-token cost equals our
 prefill cost.
+
+`--kv_quant` serves from an int8 per-row-quantized KV cache
+(ModelConfig.kv_cache_dtype='int8'): ~1.15x tokens/sec measured — see
+PROFILE.md "Serving decode step" for the op-level attribution.
 """
 
 import json
