@@ -34,7 +34,7 @@ def run(cli) -> dict:
     for key in (
         "eval_episodes", "eval_mode", "promptless_eval",
         "eval_text_num_examples", "eval_text_log_examples", "top_k", "cpu",
-        "eval_parallel_episodes",
+        "eval_parallel_episodes", "kv_cache_dtype",
     ):
         v = getattr(cli, key, None)
         if v is not None:
@@ -84,12 +84,26 @@ def run(cli) -> dict:
     from neko_tpu.data.packing import SequencePacker
 
     packer = SequencePacker(ctx.model_cfg)
-    arrays = packer.pack_batch([{"text": [0]}])
+    # dummy init batch must divide the restore context's data axis (on a
+    # multi-device host the context mesh spans every device)
+    n_data = dict(ctx.mesh.shape).get("data", 1)
+    arrays = packer.pack_batch([{"text": [0]}] * n_data)
     arrays.pop("lengths")
     state = ctx.init_state(to_device_batch(arrays))
     state = load_checkpoint(ckpt_path, jax.tree.map(lambda x: x, state))
 
-    gen = Generator(ctx.model, state.params, packer)
+    # --mesh_model_axis > 1 (CLI-only; deliberately NOT merged into the
+    # restore context, whose dummy init batch can't shard over 'data'):
+    # tensor-parallel serving — one Generator over a ('data','seq','model')
+    # mesh, params sharded by the training pspecs (models larger than one
+    # chip's HBM; no reference equivalent)
+    mesh = None
+    tp = getattr(cli, "mesh_model_axis", None)
+    if tp and tp > 1:
+        from neko_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(model=tp)
+    gen = Generator(ctx.model, state.params, packer, mesh=mesh)
     deterministic = args.eval_mode == "deterministic"
 
     from neko_tpu.training.arguments import resolve_parallel_episodes
@@ -161,6 +175,13 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--eval_text_log_examples", action="store_true", default=None)
     p.add_argument("--top_k", type=int, default=None)
     p.add_argument("--cpu", action="store_true", default=None)
+    p.add_argument("--mesh_model_axis", type=int, default=None,
+                   help="tensor-parallel serving degree: shard the model "
+                        "over this many devices for evaluation")
+    p.add_argument("--kv_cache_dtype", type=str, default=None,
+                   choices=["native", "int8"],
+                   help="KV-cache storage for decode: int8 halves the "
+                        "bandwidth-bound cache streams (~1.15x tokens/sec)")
     p.add_argument("--control_datasets", type=str, nargs="+", default=None)
     p.add_argument("--render", action="store_true", default=False,
                    help="render control envs during evaluation")

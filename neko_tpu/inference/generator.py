@@ -48,10 +48,21 @@ class Generator:
         packer: Optional[SequencePacker] = None,
         seed: int = 0,
         cast_params: bool = True,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh for TENSOR-PARALLEL serving.
+        Params are placed by the training pspecs (parallel/sharding.py —
+        heads/MLP hidden/vocab on 'model'); the KV cache and every
+        activation inherit their sharding through XLA's SPMD propagation,
+        so one Generator serves a model larger than one chip's HBM.  The
+        reference has no distributed inference at all (its eval runs the
+        whole model per rank).  Jitted fns trace inside `with mesh:` so
+        the Pallas prefill kernels see the active mesh and shard_map
+        themselves (ops/attention.py:176-205)."""
         self.model = model
         self.cfg = model.cfg
         self._cast = cast_params
+        self.mesh = mesh
         self.packer = packer or SequencePacker(model.cfg)
         self.set_params(params)
         # persistent sampling stream: callers that pass rng=None still get
@@ -59,26 +70,27 @@ class Generator:
         # 'stochastic' evaluation deterministic across calls)
         self._rng = jax.random.key(seed)
 
-        self._embed_batch = jax.jit(self._embed_batch_impl)
-        self._prefill = jax.jit(self._prefill_impl)
-        self._decode = jax.jit(self._decode_impl)
-        self._embed_tokens = jax.jit(self._embed_tokens_impl)
-        self._embed_tokens_pos = jax.jit(self._embed_tokens_pos_impl)
-        self._select = jax.jit(
+        jit = self._jit
+        self._embed_batch = jit(self._embed_batch_impl)
+        self._prefill = jit(self._prefill_impl)
+        self._decode = jit(self._decode_impl)
+        self._embed_tokens = jit(self._embed_tokens_impl)
+        self._embed_tokens_pos = jit(self._embed_tokens_pos_impl)
+        self._select = jit(
             self._select_impl, static_argnames=("start", "end", "deterministic")
         )
-        self._select_batch = jax.jit(
+        self._select_batch = jit(
             self._select_batch_impl,
             static_argnames=("start", "end", "deterministic"),
         )
-        self._decode_scan = jax.jit(
+        self._decode_scan = jit(
             self._decode_scan_impl,
             static_argnames=(
                 "n_steps", "start", "end", "deterministic", "with_pos",
                 "return_logits", "return_cache", "ring",
             ),
         )
-        self._rollout_step = jax.jit(
+        self._rollout_step = jit(
             self._rollout_step_impl,
             static_argnames=(
                 "obs_sep_tokens", "action_tokens", "clear_len", "buffer_len",
@@ -87,9 +99,31 @@ class Generator:
             donate_argnames=("cache",),
         )
 
+    def _jit(self, fn, **kw):
+        """jax.jit that traces (and runs) under the serving mesh, so the
+        attention dispatch sees it as the active mesh and sharding
+        propagates from the TP-placed params."""
+        jitted = jax.jit(fn, **kw)
+        if self.mesh is None:
+            return jitted
+
+        @functools.wraps(fn)
+        def call(*a, **k):
+            with self.mesh:
+                return jitted(*a, **k)
+
+        return call
+
     def set_params(self, params) -> None:
         """Install (freshly trained) weights, applying the inference cast."""
-        self.params = self._maybe_cast(params) if self._cast else params
+        params = self._maybe_cast(params) if self._cast else params
+        if self.mesh is not None:
+            from neko_tpu.parallel import sharding as shd
+
+            params = jax.device_put(
+                params, shd.param_shardings(self.mesh, params)
+            )
+        self.params = params
 
     def _maybe_cast(self, params):
         """Inference-only weight cast to the activation dtype.
