@@ -87,6 +87,30 @@ def test_tp_params_actually_sharded(setup):
     assert any("embed_token" in k for k in sharded)
 
 
+def test_tp_composes_with_int8_kv_cache(setup):
+    """TP sharding and int8 KV quantization stack: the int8 cache + scales
+    shard on the head dim exactly like the native cache."""
+    import dataclasses
+
+    model, packer, params = setup
+    cfg8 = dataclasses.replace(CFG, kv_cache_dtype="int8")
+    gen8 = Generator(NekoModel(cfg8), params, packer)
+    gen8_tp = Generator(
+        NekoModel(cfg8), params, packer, mesh=create_mesh(model=2)
+    )
+    ts = CFG.token_space
+    examples = [{"text": [5, 17, 99, 3]}, {"text": [88, 2, 41]}]
+    (out,) = gen8.generate_batch(
+        examples, max_new_tokens=10,
+        start=ts.start("text"), end=ts.end("text"), return_logits=False,
+    )
+    (out_tp,) = gen8_tp.generate_batch(
+        examples, max_new_tokens=10,
+        start=ts.start("text"), end=ts.end("text"), return_logits=False,
+    )
+    assert np.asarray(out_tp).tolist() == np.asarray(out).tolist()
+
+
 def test_tp_predict_text(setup):
     model, packer, params = setup
     gen = Generator(model, params, packer)
