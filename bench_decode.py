@@ -33,10 +33,18 @@ def main():
     import sys
 
     kv = "int8" if "--kv_quant" in sys.argv else "native"
+    # --config medium: Gato-medium shape (1536d/12L, hd=128) — the serving
+    # analogue of bench.py --config medium's architecture-ceiling claim:
+    # hd=128 cache matvecs contract the MXU full-depth, so the per-token
+    # cost is set by bytes, not by the hd=32 stream-rate wall (PROFILE.md)
+    medium = "medium" in sys.argv[1:] or "--config=medium" in sys.argv[1:]
+    if medium:
+        arch = dict(embed_dim=1536, layers=12, heads=12)
+    else:
+        arch = dict(embed_dim=768, layers=6, heads=24)
     cfg = ModelConfig(
-        embed_dim=768, layers=6, heads=24, dropout=0.0,
-        context_len=1024, max_patches=0, dtype="bfloat16",
-        kv_cache_dtype=kv,
+        dropout=0.0, context_len=1024, max_patches=0, dtype="bfloat16",
+        kv_cache_dtype=kv, **arch,
     )
     model = NekoModel(cfg)
     packer = SequencePacker(cfg)
@@ -89,6 +97,7 @@ def main():
         json.dumps(
             {
                 "metric": "batched_decode",
+                "config": f"{cfg.embed_dim}d{cfg.layers}L",
                 "kv_cache_dtype": kv,
                 "batch": B,
                 "prompt_len": P_LEN,
