@@ -18,7 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def trace(trace_dir):
+def trace(trace_dir, config="flagship"):
     import time
 
     import jax
@@ -30,18 +30,21 @@ def trace(trace_dir):
     from neko_tpu.parallel import sharding as shd
     from neko_tpu.parallel.mesh import create_mesh
     from neko_tpu.training.train_state import OptimizerConfig, TrainContext
-    from bench import build_batch
+    from bench import CONFIGS, build_batch
 
-    ctx_ts_img = 1024 // 38
-    cfg = ModelConfig(embed_dim=768, layers=6, heads=24, dropout=0.1,
-                      context_len=1024, max_patches=ctx_ts_img * 36,
+    shape = CONFIGS[config]
+    context_len = shape.get("context_len", 1024)
+    ctx_ts_img = context_len // 38
+    cfg = ModelConfig(embed_dim=shape["embed_dim"], layers=shape["layers"],
+                      heads=shape["heads"], dropout=0.1,
+                      context_len=context_len, max_patches=ctx_ts_img * 36,
                       dtype="bfloat16")
     opt = OptimizerConfig(learning_rate=1e-4, init_lr=1e-7,
                           warmup_steps=100, training_steps=10_000)
     mesh = create_mesh(model=1)
     ctx = TrainContext(cfg, opt, mesh, seed=0)
     packer = SequencePacker(cfg)
-    arrays = build_batch(packer, cfg, 16)
+    arrays = build_batch(packer, cfg, shape["batch_per_chip"])
     batch = shd.shard_batch(mesh, to_device_batch(arrays))
     state = ctx.init_state(batch)
     for _ in range(3):
@@ -110,11 +113,14 @@ def report(trace_dir, step_ms=None):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--trace-dir", default="/tmp/neko_profile_r3")
+    ap.add_argument("--trace-dir", default=None)
+    ap.add_argument("--config", default="flagship",
+                    help="bench.py config name (flagship/medium/long)")
     ap.add_argument("--reuse", action="store_true",
                     help="skip tracing; analyze an existing trace dir")
     a = ap.parse_args()
+    trace_dir = a.trace_dir or f"/tmp/neko_profile_r3_{a.config}"
     ms = None
     if not a.reuse:
-        ms = trace(a.trace_dir)
-    report(a.trace_dir, ms)
+        ms = trace(trace_dir, a.config)
+    report(trace_dir, ms)
