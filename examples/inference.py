@@ -12,6 +12,8 @@ import argparse
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 
@@ -109,6 +111,29 @@ def main():
     task = ControlTask("demo", env, ds, context_len=args.sequence_length, seed=0)
     metrics = task.evaluate(gen, n_iterations=2, parallel_episodes=2)
     print(f"rollout metrics -> {metrics}")
+
+    # ---- 5. serving options ----------------------------------------------
+    # int8 KV cache (~1.15x decode tokens/sec, README "Serving"): same
+    # params, quantized cache storage
+    import dataclasses
+
+    from neko_tpu.models.policy import NekoModel
+
+    cfg8 = dataclasses.replace(ctx.model_cfg, kv_cache_dtype="int8")
+    gen8 = Generator(NekoModel(cfg8), state.params, packer)
+    _, toks8 = gen8.predict_text({"text": prompt}, max_length=8)
+    print(f"predict_text (int8 KV cache) -> {list(toks8)}")
+
+    # tensor-parallel serving spans a Mesh when multiple devices exist
+    # (Generator(..., mesh=create_mesh(model=N)); eval.py --mesh_model_axis)
+    if len(jax.devices()) % 2 == 0 and ctx.model_cfg.heads % 2 == 0:
+        from neko_tpu.parallel.mesh import create_mesh
+
+        gen_tp = Generator(
+            ctx.model, state.params, packer, mesh=create_mesh(model=2)
+        )
+        _, toks_tp = gen_tp.predict_text({"text": prompt}, max_length=8)
+        print(f"predict_text (TP x2) -> {list(toks_tp)}")
 
 
 if __name__ == "__main__":
