@@ -103,6 +103,14 @@ def main():
     )
     print(f"generate_batch -> {toks.tolist()}")
 
+    # stochastic decoding with nucleus/top-k/temperature (reference has
+    # only argmax + plain multinomial; defaults reproduce those exactly)
+    _, toks_s = gen.predict_text(
+        {"text": prompt}, max_length=8, deterministic=False,
+        temperature=0.8, top_k=50, top_p=0.95,
+    )
+    print(f"predict_text (T=0.8, top_k=50, top_p=0.95) -> {list(toks_s)}")
+
     # ---- 4. live env rollout ----------------------------------------------
     from neko_tpu.envs.setup_env import load_env_dataset
     from neko_tpu.tasks.control import ControlTask

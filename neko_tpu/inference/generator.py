@@ -40,6 +40,46 @@ from neko_tpu.models.policy import NekoModel
 from neko_tpu.tokenizers.continuous import decode_np
 
 
+def apply_logit_filters(window, *, temperature: float = 1.0, top_k: int = 0,
+                        top_p: float = 1.0):
+    """Serving-time logit warps: temperature -> top-k -> top-p (nucleus).
+
+    Operates on the restricted logit window along the last axis and returns
+    warped logits for SAMPLING only; callers keep the unwarped window for
+    returned logits / NLL evaluation.  All three knobs are static Python
+    values (baked into the compiled decode scan — no per-step host work).
+    The reference offers only argmax/multinomial (gato_policy.py:453-458);
+    these are strict extensions, all off by default (temperature=1.0,
+    top_k=0, top_p=1.0 reproduce the reference's multinomial exactly).
+
+    top-p keeps the minimal descending-probability prefix whose cumulative
+    mass reaches `top_p` (the most likely token is always kept); ties at the
+    cut keep every tied logit.
+    """
+    if temperature != 1.0:
+        window = window / temperature
+    W = window.shape[-1]
+    if top_k and top_k < W:
+        kth = jax.lax.top_k(window, top_k)[0][..., -1:]
+        window = jnp.where(window < kth, -jnp.inf, window)
+    if top_p < 1.0:
+        desc = jnp.flip(jnp.sort(window, axis=-1), axis=-1)
+        probs = jax.nn.softmax(desc, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        keep = (cum - probs) < top_p  # prefix BEFORE this token < p => keep
+        thresh = jnp.min(
+            jnp.where(keep, desc, jnp.inf), axis=-1, keepdims=True
+        )
+        window = jnp.where(window < thresh, -jnp.inf, window)
+    return window
+
+
+def _check_sampling_args(temperature, top_k, top_p):
+    assert temperature > 0.0, f"temperature must be > 0, got {temperature}"
+    assert top_k >= 0, f"top_k must be >= 0 (0 = off), got {top_k}"
+    assert 0.0 < top_p <= 1.0, f"top_p must be in (0, 1], got {top_p}"
+
+
 class Generator:
     def __init__(
         self,
@@ -76,26 +116,28 @@ class Generator:
         self._decode = jit(self._decode_impl)
         self._embed_tokens = jit(self._embed_tokens_impl)
         self._embed_tokens_pos = jit(self._embed_tokens_pos_impl)
+        _samp = ("temperature", "top_k", "top_p")
         self._select = jit(
-            self._select_impl, static_argnames=("start", "end", "deterministic")
+            self._select_impl,
+            static_argnames=("start", "end", "deterministic") + _samp,
         )
         self._select_batch = jit(
             self._select_batch_impl,
-            static_argnames=("start", "end", "deterministic"),
+            static_argnames=("start", "end", "deterministic") + _samp,
         )
         self._decode_scan = jit(
             self._decode_scan_impl,
             static_argnames=(
                 "n_steps", "start", "end", "deterministic", "with_pos",
                 "return_logits", "return_cache", "ring",
-            ),
+            ) + _samp,
         )
         self._rollout_step = jit(
             self._rollout_step_impl,
             static_argnames=(
                 "obs_sep_tokens", "action_tokens", "clear_len", "buffer_len",
                 "sel_start", "sel_end", "deterministic",
-            ),
+            ) + _samp,
             donate_argnames=("cache",),
         )
 
@@ -176,13 +218,18 @@ class Generator:
             method=NekoModel.embed_tokens_with_pos,
         )
 
-    def _select_impl(self, logits, key, *, start, end, deterministic):
-        """Restrict logits to [start, end] inclusive and pick a token id."""
+    def _select_impl(self, logits, key, *, start, end, deterministic,
+                     temperature=1.0, top_k=0, top_p=1.0):
+        """Restrict logits to [start, end] inclusive and pick a token id.
+        Returns the UNWARPED window (eval consumers score raw logits)."""
         window = logits[start : end + 1]
         if deterministic:
             tok = jnp.argmax(window)
         else:
-            tok = jax.random.categorical(key, window)
+            warped = apply_logit_filters(
+                window, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+            tok = jax.random.categorical(key, warped)
         return tok + start, window
 
     # ------------------------------------------------------------- helpers
@@ -211,6 +258,9 @@ class Generator:
         prompt_len: Optional[int] = None,
         inner_pos_continuation: bool = False,
         exact_window: bool = False,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Generate tokens restricted to [start, end].
 
@@ -225,6 +275,7 @@ class Generator:
         the trimmed window per token — bit-exact reference sliding-window
         semantics (gato_policy.py:466-467), O(S^2) per overflowing token.
         """
+        _check_sampling_args(temperature, top_k, top_p)
         S = self.cfg.context_len
         next_pos = 0
         if prompt_emb is None:
@@ -241,6 +292,7 @@ class Generator:
                     drop_trailing=drop_trailing,
                     rng=rng,
                     inner_pos_continuation=inner_pos_continuation,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
                 )
                 return toks[0], windows[0]
         else:
@@ -261,6 +313,7 @@ class Generator:
             tok, window = self._select(
                 last_logits, key, start=start, end=end,
                 deterministic=deterministic,
+                temperature=temperature, top_k=top_k, top_p=top_p,
             )
             out_tokens.append(int(tok))
             out_logits.append(np.asarray(window))
@@ -309,6 +362,9 @@ class Generator:
         inner_pos_continuation: bool = False,
         targets: Optional[np.ndarray] = None,
         return_logits: bool = True,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         """Generate for a batch of prompts in lockstep (right-padded prompts,
         per-row decode positions).  Returns (tokens [N, T], window_logits
@@ -323,6 +379,7 @@ class Generator:
         TransformerXL-style reuse of cached hidden states (the old fallback
         re-prefilled the full context per overflowing token).
         """
+        _check_sampling_args(temperature, top_k, top_p)
         S = self.cfg.context_len
         N = len(examples)
         arrays = self.packer.pack_batch(examples, pad_side="right")
@@ -349,6 +406,7 @@ class Generator:
             n_steps=max_new_tokens, start=start, end=end,
             deterministic=deterministic, with_pos=inner_pos_continuation,
             return_logits=return_logits, ring=ring,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         out = [np.asarray(ys[0], np.int64)]
         for y in ys[1:]:
@@ -360,6 +418,7 @@ class Generator:
         self, params, cache, last_logits, pos, next_pos, key, targets,
         *, n_steps, start, end, deterministic, with_pos, return_logits,
         return_cache=False, ring=False,
+        temperature=1.0, top_k=0, top_p=1.0,
     ):
         """Fully-device decode loop: one compiled scan generates n_steps
         tokens without any host round-trip (per-token host syncs through the
@@ -386,7 +445,10 @@ class Generator:
             if deterministic:
                 tok = jnp.argmax(window, axis=-1)
             else:
-                tok = jax.random.categorical(sub, window, axis=-1)
+                warped = apply_logit_filters(
+                    window, temperature=temperature, top_k=top_k, top_p=top_p
+                )
+                tok = jax.random.categorical(sub, warped, axis=-1)
             tok = (tok + start).astype(jnp.int32)
             ys = [tok]
             if return_logits:
@@ -431,6 +493,7 @@ class Generator:
         self, params, cache, small_batch, slot_start, key,
         *, obs_sep_tokens, action_tokens, clear_len, buffer_len,
         sel_start, sel_end, deterministic,
+        temperature=1.0, top_k=0, top_p=1.0,
     ):
         """ONE compiled device call per env step of a rollout (rollout
         cache): embed the new timestep's [obs | sep] tokens, ring-extend the
@@ -460,15 +523,20 @@ class Generator:
             n_steps=action_tokens, start=sel_start, end=sel_end,
             deterministic=deterministic, with_pos=False, return_logits=False,
             return_cache=True,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         return tokens, cache
 
-    def _select_batch_impl(self, logits, key, *, start, end, deterministic):
+    def _select_batch_impl(self, logits, key, *, start, end, deterministic,
+                           temperature=1.0, top_k=0, top_p=1.0):
         window = logits[:, start : end + 1]
         if deterministic:
             tok = jnp.argmax(window, axis=-1)
         else:
-            tok = jax.random.categorical(key, window, axis=-1)
+            warped = apply_logit_filters(
+                window, temperature=temperature, top_k=top_k, top_p=top_p
+            )
+            tok = jax.random.categorical(key, warped, axis=-1)
         return (tok + start).astype(jnp.int32), window
 
     # ------------------------------------------------------ task-level API
@@ -478,6 +546,9 @@ class Generator:
         max_length: int = 20,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         """Greedy/sampled text continuation (reference predict_text)."""
         ts = self.cfg.token_space
@@ -491,6 +562,7 @@ class Generator:
             end=ts.end("text"),
             deterministic=deterministic,
             rng=rng,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         return logits, tokens - ts.start("text")
 
@@ -503,6 +575,9 @@ class Generator:
         num_actions: Optional[int] = None,  # |A| for discrete envs
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         """Predict one action for the last (action-padded) timestep."""
         ts = self.cfg.token_space
@@ -520,6 +595,7 @@ class Generator:
             deterministic=deterministic,
             drop_trailing=action_tokens,
             rng=rng,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         if action_kind == "discrete":
             return int(tokens[0] - start)
@@ -536,6 +612,9 @@ class Generator:
         max_length: int = 128,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         """Text response conditioned on an image (reference predict_response,
         gato_policy.py:477-544): caption when prompt_tokens is empty, answer
@@ -550,6 +629,7 @@ class Generator:
             drop_trailing=1,  # trailing SEP is causally invisible
             rng=rng,
             inner_pos_continuation=True,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         return logits, tokens - ts.start("text")
 
@@ -571,6 +651,9 @@ class Generator:
         num_actions: Optional[int] = None,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
         """predict_control for several env instances in lockstep.
 
@@ -590,6 +673,7 @@ class Generator:
             deterministic=deterministic,
             drop_trailing=action_tokens,
             rng=rng,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         if action_kind == "discrete":
             return [int(t[0] - start) for t in tokens]
@@ -701,6 +785,9 @@ class RolloutSession:
         observations: Sequence[np.ndarray],
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ) -> List:
         """One env step for every row.  `observations` holds one
         already-transformed SINGLE-TIMESTEP obs array per row (leading dim 1,
@@ -737,6 +824,7 @@ class RolloutSession:
             sel_start=self.sel_start,
             sel_end=self.sel_end,
             deterministic=deterministic,
+            temperature=temperature, top_k=top_k, top_p=top_p,
         )
         self.slot_start = (self.slot_start + self.tpt) % self.L
         tokens = np.asarray(tokens, np.int64)
