@@ -103,7 +103,14 @@ def run(cli) -> dict:
         from neko_tpu.parallel.mesh import create_mesh
 
         mesh = create_mesh(model=tp)
-    gen = Generator(ctx.model, state.params, packer, mesh=mesh)
+    gen = Generator(
+        ctx.model, state.params, packer, mesh=mesh,
+        # sampling knobs apply in stochastic eval mode only (a capability
+        # beyond the reference's argmax/multinomial; inference/generator.py)
+        temperature=getattr(cli, "temperature", None) or 1.0,
+        top_k=getattr(cli, "sample_top_k", None) or 0,
+        top_p=getattr(cli, "sample_top_p", None) or 1.0,
+    )
     deterministic = args.eval_mode == "deterministic"
 
     from neko_tpu.training.arguments import resolve_parallel_episodes
@@ -174,6 +181,13 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--eval_text_num_examples", type=int, default=None)
     p.add_argument("--eval_text_log_examples", action="store_true", default=None)
     p.add_argument("--top_k", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=None,
+                   help="sampling temperature for --eval_mode=stochastic")
+    p.add_argument("--sample_top_k", type=int, default=None,
+                   help="top-k sampling filter (0=off); distinct from "
+                        "--top_k, which selects prompt episodes by return")
+    p.add_argument("--sample_top_p", type=float, default=None,
+                   help="nucleus sampling mass (1.0=off)")
     p.add_argument("--cpu", action="store_true", default=None)
     p.add_argument("--mesh_model_axis", type=int, default=None,
                    help="tensor-parallel serving degree: shard the model "

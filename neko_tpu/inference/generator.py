@@ -80,6 +80,15 @@ def _check_sampling_args(temperature, top_k, top_p):
     assert 0.0 < top_p <= 1.0, f"top_p must be in (0, 1], got {top_p}"
 
 
+def _resolve_sampling(defaults, temperature, top_k, top_p):
+    """Per-call knobs (None = inherit the Generator-level defaults)."""
+    t = defaults[0] if temperature is None else temperature
+    k = defaults[1] if top_k is None else top_k
+    p = defaults[2] if top_p is None else top_p
+    _check_sampling_args(t, k, p)
+    return float(t), int(k), float(p)
+
+
 class Generator:
     def __init__(
         self,
@@ -89,8 +98,15 @@ class Generator:
         seed: int = 0,
         cast_params: bool = True,
         mesh=None,
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
     ):
-        """`mesh`: optional jax.sharding.Mesh for TENSOR-PARALLEL serving.
+        """`temperature`/`top_k`/`top_p`: default sampling knobs for every
+        generation call on this instance (stochastic mode only; see
+        apply_logit_filters).  Per-call arguments override them.
+
+        `mesh`: optional jax.sharding.Mesh for TENSOR-PARALLEL serving.
         Params are placed by the training pspecs (parallel/sharding.py —
         heads/MLP hidden/vocab on 'model'); the KV cache and every
         activation inherit their sharding through XLA's SPMD propagation,
@@ -103,6 +119,8 @@ class Generator:
         self.cfg = model.cfg
         self._cast = cast_params
         self.mesh = mesh
+        _check_sampling_args(temperature, top_k, top_p)
+        self._default_sampling = (temperature, top_k, top_p)
         self.packer = packer or SequencePacker(model.cfg)
         self.set_params(params)
         # persistent sampling stream: callers that pass rng=None still get
@@ -258,9 +276,9 @@ class Generator:
         prompt_len: Optional[int] = None,
         inner_pos_continuation: bool = False,
         exact_window: bool = False,
-        temperature: float = 1.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Generate tokens restricted to [start, end].
 
@@ -275,7 +293,9 @@ class Generator:
         the trimmed window per token — bit-exact reference sliding-window
         semantics (gato_policy.py:466-467), O(S^2) per overflowing token.
         """
-        _check_sampling_args(temperature, top_k, top_p)
+        temperature, top_k, top_p = _resolve_sampling(
+            self._default_sampling, temperature, top_k, top_p
+        )
         S = self.cfg.context_len
         next_pos = 0
         if prompt_emb is None:
@@ -362,9 +382,9 @@ class Generator:
         inner_pos_continuation: bool = False,
         targets: Optional[np.ndarray] = None,
         return_logits: bool = True,
-        temperature: float = 1.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         """Generate for a batch of prompts in lockstep (right-padded prompts,
         per-row decode positions).  Returns (tokens [N, T], window_logits
@@ -379,7 +399,9 @@ class Generator:
         TransformerXL-style reuse of cached hidden states (the old fallback
         re-prefilled the full context per overflowing token).
         """
-        _check_sampling_args(temperature, top_k, top_p)
+        temperature, top_k, top_p = _resolve_sampling(
+            self._default_sampling, temperature, top_k, top_p
+        )
         S = self.cfg.context_len
         N = len(examples)
         arrays = self.packer.pack_batch(examples, pad_side="right")
@@ -546,9 +568,9 @@ class Generator:
         max_length: int = 20,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
-        temperature: float = 1.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         """Greedy/sampled text continuation (reference predict_text)."""
         ts = self.cfg.token_space
@@ -575,9 +597,9 @@ class Generator:
         num_actions: Optional[int] = None,  # |A| for discrete envs
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
-        temperature: float = 1.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         """Predict one action for the last (action-padded) timestep."""
         ts = self.cfg.token_space
@@ -612,9 +634,9 @@ class Generator:
         max_length: int = 128,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
-        temperature: float = 1.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         """Text response conditioned on an image (reference predict_response,
         gato_policy.py:477-544): caption when prompt_tokens is empty, answer
@@ -651,9 +673,9 @@ class Generator:
         num_actions: Optional[int] = None,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
-        temperature: float = 1.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ):
         """predict_control for several env instances in lockstep.
 
@@ -785,15 +807,18 @@ class RolloutSession:
         observations: Sequence[np.ndarray],
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
-        temperature: float = 1.0,
-        top_k: int = 0,
-        top_p: float = 1.0,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> List:
         """One env step for every row.  `observations` holds one
         already-transformed SINGLE-TIMESTEP obs array per row (leading dim 1,
         e.g. task._obs_array(raw_obs[None])).  Returns decoded actions (ints
         for discrete, float arrays for continuous)."""
         assert self.cache is not None, "call start() first"
+        temperature, top_k, top_p = _resolve_sampling(
+            self.g._default_sampling, temperature, top_k, top_p
+        )
         B = len(observations)
         examples = [
             {

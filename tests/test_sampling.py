@@ -179,6 +179,28 @@ def test_invalid_knobs_rejected(gen):
         gen.predict_text(PROMPT, max_length=2, top_k=-1)
 
 
+def test_generator_level_defaults(gen):
+    """Knobs set at Generator construction apply to every call; per-call
+    arguments override them (eval.py --temperature/--sample_top_k/
+    --sample_top_p wire through this)."""
+    g2 = Generator(gen.model, gen.params, gen.packer, top_k=1)
+    _, greedy = gen.predict_text(PROMPT, max_length=5)
+    _, via_default = g2.predict_text(
+        PROMPT, max_length=5, deterministic=False, rng=jax.random.key(9)
+    )
+    np.testing.assert_array_equal(greedy, via_default)
+    # per-call override back to plain sampling diverges from greedy for
+    # at least one of several seeds (flat-ish random-init logits)
+    diverged = False
+    for s in range(5):
+        _, t = g2.predict_text(
+            PROMPT, max_length=5, deterministic=False, top_k=0,
+            rng=jax.random.key(s),
+        )
+        diverged = diverged or list(t) != list(greedy)
+    assert diverged
+
+
 def test_rollout_session_accepts_knobs(gen):
     """The rollout cache path compiles and runs with the knobs on."""
     sess = gen.rollout_session(
