@@ -158,6 +158,13 @@ class Generator:
             ) + _samp,
             donate_argnames=("cache",),
         )
+        self._beam_scan = jit(
+            self._beam_scan_impl,
+            static_argnames=(
+                "n_steps", "start", "end", "num_beams", "with_pos",
+                "return_logits",
+            ),
+        )
 
     def _jit(self, fn, **kw):
         """jax.jit that traces (and runs) under the serving mesh, so the
@@ -436,6 +443,142 @@ class Generator:
         # (tokens[, window_logits][, per_token_nll])
         return tuple(out) if len(out) > 2 else (out[0], out[1]) if len(out) == 2 else (out[0],)
 
+    def generate_beam(
+        self,
+        examples: Sequence[Dict],
+        *,
+        max_new_tokens: int,
+        start: int,
+        end: int,
+        num_beams: int = 4,
+        drop_trailing: int = 0,
+        inner_pos_continuation: bool = False,
+        return_logits: bool = False,
+    ):
+        """Batched beam search restricted to [start, end] — one compiled scan.
+
+        A capability the reference lacks entirely (its generation is greedy
+        or plain multinomial, gato_policy.py:453-458, one full re-forward per
+        token).  Here the KV cache rides the beam: each step re-indexes every
+        cache leaf (leading axis = N*num_beams rows) by the surviving beams'
+        parent rows, so the whole search is O(num_beams) decode work per
+        token with zero host round-trips.
+
+        Returns (tokens [N, num_beams, T] int64, scores [N, num_beams] fp32
+        cumulative log-probs, descending — beam 0 is the best), plus the raw
+        window logits along each surviving beam [N, num_beams, T, W] when
+        return_logits=True (caption/VQA CE eval consumes these).
+
+        Sequences are fixed-length (the reference's eval contract: generate
+        exactly max_length tokens, caption_task.py:139-147) — no EOS short-
+        circuit, hence no length normalization is needed for ranking.
+        Context overflow is not supported on the beam path (assert below);
+        use generate_batch's ring decode for overflowing generation.
+        """
+        assert num_beams >= 1
+        S = self.cfg.context_len
+        N = len(examples)
+        arrays = self.packer.pack_batch(examples, pad_side="right")
+        lengths = arrays.pop("lengths") - drop_trailing
+        next_pos = arrays["inner_pos"].max(axis=1) + 1
+        assert int(lengths.max()) + max_new_tokens <= S, (
+            "beam search does not support context overflow"
+        )
+        batch = to_device_batch(arrays)
+        emb = self._embed_batch(self.params, batch)
+        mask = np.zeros((N, S), bool)
+        for i, L in enumerate(lengths):
+            mask[i, :L] = True
+        logits, cache = self._prefill(self.params, emb, jnp.asarray(mask))
+        pos = jnp.asarray(lengths, jnp.int32)
+        last = logits[jnp.arange(N), pos - 1]  # [N, V]
+
+        # beam-expand every row N -> N*B, ordered [n0b0, n0b1, ..., n1b0, ..]
+        def rep(a):
+            return jnp.repeat(a, num_beams, axis=0)
+
+        ys = self._beam_scan(
+            self.params, jax.tree.map(rep, cache), rep(last), rep(pos),
+            rep(jnp.asarray(next_pos, jnp.int32)),
+            n_steps=max_new_tokens, start=start, end=end,
+            num_beams=num_beams, with_pos=inner_pos_continuation,
+            return_logits=return_logits,
+        )
+        tokens = np.asarray(ys[0], np.int64)
+        scores = np.asarray(ys[1], np.float32)
+        if return_logits:
+            return tokens, scores, np.asarray(ys[2], np.float32)
+        return tokens, scores
+
+    def _beam_scan_impl(
+        self, params, cache, last_logits, pos, next_pos,
+        *, n_steps, start, end, num_beams, with_pos, return_logits,
+    ):
+        """Device-side beam search body.  All inputs arrive beam-expanded
+        ([N*B] leading rows); `pos`/`next_pos` advance in lockstep across an
+        example's beams so only the cache/token/logit buffers need the
+        per-step parent gather."""
+        W = end - start + 1
+        NB = last_logits.shape[0]
+        B = num_beams
+        N = NB // B
+        # only beam 0 is live at step 0 (all beams hold identical prefills;
+        # masking the rest prevents B duplicates of the same hypothesis)
+        cum0 = jnp.tile(
+            jnp.concatenate(
+                [jnp.zeros((1,), jnp.float32),
+                 jnp.full((B - 1,), jnp.float32(-1e30))]
+            )[None],
+            (N, 1),
+        )
+        tokbuf = jnp.zeros((NB, n_steps), jnp.int32)
+        logbuf = (
+            jnp.zeros((NB, n_steps, W), jnp.float32) if return_logits else None
+        )
+
+        def body(carry, i):
+            cache, last_logits, cum, pos, next_pos, tokbuf, logbuf = carry
+            window = last_logits[:, start : end + 1]          # [NB, W]
+            logp = jax.nn.log_softmax(window, axis=-1)
+            total = (cum.reshape(NB, 1) + logp).reshape(N, B * W)
+            scores, idx = jax.lax.top_k(total, B)             # [N, B] desc
+            parent = idx // W
+            tokw = idx % W
+            rowp = (jnp.arange(N)[:, None] * B + parent).reshape(-1)  # [NB]
+            cache = jax.tree.map(lambda a: a[rowp], cache)
+            tokbuf = tokbuf[rowp]
+            tok = (tokw + start).astype(jnp.int32).reshape(-1)
+            tokbuf = tokbuf.at[:, i].set(tok)
+            if return_logits:
+                logbuf = logbuf[rowp].at[:, i].set(window[rowp])
+            if with_pos:
+                emb = self.model.apply(
+                    {"params": params}, tok[:, None], next_pos[:, None],
+                    method=NekoModel.embed_tokens_with_pos,
+                )
+            else:
+                emb = self.model.apply(
+                    {"params": params}, tok[:, None],
+                    method=NekoModel.embed_tokens,
+                )
+            logits, vars_ = self.model.apply(
+                {"params": params, "cache": cache}, emb, pos,
+                method=NekoModel.decode_step, mutable=["cache"],
+            )
+            new_carry = (
+                vars_["cache"], logits[:, 0], scores, pos + 1, next_pos + 1,
+                tokbuf, logbuf,
+            )
+            return new_carry, None
+
+        carry = (cache, last_logits, cum0, pos, next_pos, tokbuf, logbuf)
+        carry, _ = jax.lax.scan(body, carry, jnp.arange(n_steps))
+        _, _, cum, _, _, tokbuf, logbuf = carry
+        out = (tokbuf.reshape(N, B, n_steps), cum)
+        if return_logits:
+            out = out + (logbuf.reshape(N, B, n_steps, W),)
+        return out
+
     def _decode_scan_impl(
         self, params, cache, last_logits, pos, next_pos, key, targets,
         *, n_steps, start, end, deterministic, with_pos, return_logits,
@@ -571,9 +714,20 @@ class Generator:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        num_beams: int = 1,
     ):
-        """Greedy/sampled text continuation (reference predict_text)."""
+        """Greedy/sampled text continuation (reference predict_text).
+        num_beams>1 switches to beam search (deterministic; the sampling
+        knobs are ignored) and returns the best beam."""
         ts = self.cfg.token_space
+        if num_beams > 1:
+            tokens, _, logits = self.generate_beam(
+                [example],
+                max_new_tokens=max_length,
+                start=ts.start("text"), end=ts.end("text"),
+                num_beams=num_beams, return_logits=True,
+            )
+            return logits[0, 0], tokens[0, 0] - ts.start("text")
         # NOTE: the prompt keeps its trailing separator — the reference's
         # tokenize_input_dicts always appends one, so predict_text generates
         # the first token from the SEP position (gato_policy.py:343-345,439).
@@ -637,11 +791,22 @@ class Generator:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        num_beams: int = 1,
     ):
         """Text response conditioned on an image (reference predict_response,
         gato_policy.py:477-544): caption when prompt_tokens is empty, answer
-        when it holds a question's BPE ids.  Returns (window_logits, ids)."""
+        when it holds a question's BPE ids.  Returns (window_logits, ids).
+        num_beams>1 switches to beam search and returns the best beam."""
         ts = self.cfg.token_space
+        if num_beams > 1:
+            tokens, _, logits = self.generate_beam(
+                [{"images": np.asarray(image), "text": list(prompt_tokens)}],
+                max_new_tokens=max_length,
+                start=ts.start("text"), end=ts.end("text"),
+                num_beams=num_beams, drop_trailing=1,
+                inner_pos_continuation=True, return_logits=True,
+            )
+            return logits[0, 0], tokens[0, 0] - ts.start("text")
         tokens, logits = self.generate(
             {"images": np.asarray(image), "text": list(prompt_tokens)},
             max_new_tokens=max_length,
