@@ -1,0 +1,104 @@
+"""`neko-serve` / `python serve.py` — HTTP inference server.
+
+Loads a checkpoint exactly like eval.py (args.json restore + CLI overrides),
+builds a Generator (optionally tensor-parallel / int8-KV), and serves the
+JSON API from neko_tpu/serving/server.py.  The reference ships a serving
+Docker image but no server; this is the entrypoint that image was missing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+
+def build_generator(cli):
+    """Checkpoint -> Generator (the eval.py restore path, minus tasks)."""
+    from neko_tpu.cli.build import build_context
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.inference.generator import Generator
+    from neko_tpu.training.arguments import TrainingArgs
+    from neko_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        load_args_dict,
+        load_checkpoint,
+    )
+
+    ckpt_path = cli.model_path
+    if os.path.isdir(ckpt_path) and not os.path.basename(ckpt_path).startswith(
+        "checkpoint_"
+    ):
+        found = latest_checkpoint(ckpt_path)
+        assert found, f"no checkpoint_* under {ckpt_path}"
+        ckpt_path = found
+    saved = load_args_dict(os.path.dirname(ckpt_path))
+    for key in ("cpu", "kv_cache_dtype"):
+        v = getattr(cli, key, None)
+        if v is not None:
+            saved[key] = v
+    known = {f.name for f in TrainingArgs.__dataclass_fields__.values()}
+    args = TrainingArgs(**{k: v for k, v in saved.items() if k in known})
+
+    import jax
+
+    ctx, _ = build_context(args, tasks=[])
+    packer = SequencePacker(ctx.model_cfg)
+    n_data = dict(ctx.mesh.shape).get("data", 1)
+    arrays = packer.pack_batch([{"text": [0]}] * n_data)
+    arrays.pop("lengths")
+    state = ctx.init_state(to_device_batch(arrays))
+    state = load_checkpoint(ckpt_path, jax.tree.map(lambda x: x, state))
+
+    mesh = None
+    if cli.mesh_model_axis and cli.mesh_model_axis > 1:
+        from neko_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(model=cli.mesh_model_axis)
+    return Generator(
+        ctx.model, state.params, packer, mesh=mesh,
+        temperature=cli.temperature or 1.0,
+        top_k=cli.sample_top_k or 0,
+        top_p=cli.sample_top_p or 1.0,
+    )
+
+
+def main(argv: Optional[list] = None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_path", required=True,
+                   help="checkpoint_<N> dir, or an exp dir (latest used)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--max_batch", type=int, default=8,
+                   help="micro-batch cap: concurrent compatible requests "
+                        "coalesce into one decode call")
+    p.add_argument("--batch_window_ms", type=float, default=5.0)
+    p.add_argument("--cpu", action="store_true", default=None)
+    p.add_argument("--mesh_model_axis", type=int, default=None,
+                   help="tensor-parallel serving degree")
+    p.add_argument("--kv_cache_dtype", type=str, default=None,
+                   choices=["native", "int8"])
+    p.add_argument("--temperature", type=float, default=None)
+    p.add_argument("--sample_top_k", type=int, default=None)
+    p.add_argument("--sample_top_p", type=float, default=None)
+    cli = p.parse_args(argv)
+
+    from neko_tpu.serving.server import NekoServer
+
+    gen = build_generator(cli)
+    server = NekoServer(
+        gen, host=cli.host, port=cli.port,
+        max_batch=cli.max_batch, batch_window_ms=cli.batch_window_ms,
+    ).start()
+    host, port = server.address[0], server.address[1]
+    print(f"serving on http://{host}:{port} "
+          f"(POST /v1/generate, /v1/action; GET /healthz)")
+    try:
+        server._serve_thread.join()
+    except KeyboardInterrupt:
+        server.close()
+
+
+if __name__ == "__main__":
+    main()
