@@ -238,3 +238,45 @@ def build_context(
     mesh = create_mesh(model=args.mesh_model_axis, seq=args.mesh_seq_axis)
     ctx = TrainContext(model_cfg, opt_cfg, mesh, seed=args.seed)
     return ctx, tasks
+
+
+def resolve_checkpoint_and_args(model_path: str, overrides: Optional[dict] = None):
+    """Shared inference-restore recipe, step 1 (eval.py / serve.py /
+    tools/export_checkpoint.py): resolve `model_path` (a checkpoint_<N> dir,
+    or an experiment dir whose LATEST checkpoint is used), load the adjacent
+    args.json, and merge non-None overrides — the reference's eval.py
+    restore contract (eval.py:22-38).  Returns (ckpt_path, TrainingArgs)."""
+    import os
+
+    from neko_tpu.utils.checkpoint import latest_checkpoint, load_args_dict
+
+    ckpt_path = model_path
+    if os.path.isdir(ckpt_path) and not os.path.basename(ckpt_path).startswith(
+        "checkpoint_"
+    ):
+        found = latest_checkpoint(ckpt_path)
+        assert found, f"no checkpoint_* under {ckpt_path}"
+        ckpt_path = found
+    saved = load_args_dict(os.path.dirname(ckpt_path))
+    for k, v in (overrides or {}).items():
+        if v is not None:
+            saved[k] = v
+    known = {f.name for f in TrainingArgs.__dataclass_fields__.values()}
+    args = TrainingArgs(**{k: v for k, v in saved.items() if k in known})
+    return ckpt_path, args
+
+
+def load_state_for(ctx: TrainContext, ckpt_path: str):
+    """Shared inference-restore recipe, step 2: init the sharded train state
+    from a dummy packed batch (sized to the context mesh's data axis) and
+    restore the checkpoint into it.  Returns (state, packer)."""
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.utils.checkpoint import load_checkpoint
+
+    packer = SequencePacker(ctx.model_cfg)
+    n_data = dict(ctx.mesh.shape).get("data", 1)
+    arrays = packer.pack_batch([{"text": [0]}] * n_data)
+    arrays.pop("lengths")
+    state = ctx.init_state(to_device_batch(arrays))
+    return load_checkpoint(ckpt_path, jax.tree.map(lambda x: x, state)), packer

@@ -8,39 +8,33 @@ tasks, printing `evaluation/<task>/<metric>` lines (eval.py:21-122).
 from __future__ import annotations
 
 import argparse
-import os
 from typing import Optional
 
-from neko_tpu.cli.build import build_context
+from neko_tpu.cli.build import (
+    build_context,
+    load_state_for,
+    resolve_checkpoint_and_args,
+)
 from neko_tpu.inference.generator import Generator
 from neko_tpu.tasks.control import ControlTask
 from neko_tpu.tasks.text import TextTask
-from neko_tpu.training.arguments import TrainingArgs
-from neko_tpu.utils.checkpoint import latest_checkpoint, load_args_dict, load_checkpoint
+
+
+def _or(value, default):
+    return default if value is None else value
 
 
 def run(cli) -> dict:
-    ckpt_path = cli.model_path
-    if os.path.isdir(ckpt_path) and not os.path.basename(ckpt_path).startswith(
-        "checkpoint_"
-    ):
-        found = latest_checkpoint(ckpt_path)
-        assert found, f"no checkpoint_* under {ckpt_path}"
-        ckpt_path = found
-    exp_dir = os.path.dirname(ckpt_path)
-
-    saved = load_args_dict(exp_dir)
     # CLI overrides merged into saved args (reference eval.py:36-38)
-    for key in (
-        "eval_episodes", "eval_mode", "promptless_eval",
-        "eval_text_num_examples", "eval_text_log_examples", "top_k", "cpu",
-        "eval_parallel_episodes", "kv_cache_dtype",
-    ):
-        v = getattr(cli, key, None)
-        if v is not None:
-            saved[key] = v
-    known = {f.name for f in TrainingArgs.__dataclass_fields__.values()}
-    args = TrainingArgs(**{k: v for k, v in saved.items() if k in known})
+    overrides = {
+        key: getattr(cli, key, None)
+        for key in (
+            "eval_episodes", "eval_mode", "promptless_eval",
+            "eval_text_num_examples", "eval_text_log_examples", "top_k",
+            "cpu", "eval_parallel_episodes", "kv_cache_dtype",
+        )
+    }
+    ckpt_path, args = resolve_checkpoint_and_args(cli.model_path, overrides)
     if cli.control_datasets:
         args.control_datasets = cli.control_datasets
 
@@ -75,22 +69,7 @@ def run(cli) -> dict:
             )
 
     ctx, tasks = build_context(args, tasks=tasks)
-    trainer_state = None
-
-    # restore into the sharded layout
-    import jax
-
-    from neko_tpu.data.batch import to_device_batch
-    from neko_tpu.data.packing import SequencePacker
-
-    packer = SequencePacker(ctx.model_cfg)
-    # dummy init batch must divide the restore context's data axis (on a
-    # multi-device host the context mesh spans every device)
-    n_data = dict(ctx.mesh.shape).get("data", 1)
-    arrays = packer.pack_batch([{"text": [0]}] * n_data)
-    arrays.pop("lengths")
-    state = ctx.init_state(to_device_batch(arrays))
-    state = load_checkpoint(ckpt_path, jax.tree.map(lambda x: x, state))
+    state, packer = load_state_for(ctx, ckpt_path)
 
     # --mesh_model_axis > 1 (CLI-only; deliberately NOT merged into the
     # restore context, whose dummy init batch can't shard over 'data'):
@@ -106,10 +85,11 @@ def run(cli) -> dict:
     gen = Generator(
         ctx.model, state.params, packer, mesh=mesh,
         # sampling knobs apply in stochastic eval mode only (a capability
-        # beyond the reference's argmax/multinomial; inference/generator.py)
-        temperature=getattr(cli, "temperature", None) or 1.0,
-        top_k=getattr(cli, "sample_top_k", None) or 0,
-        top_p=getattr(cli, "sample_top_p", None) or 1.0,
+        # beyond the reference's argmax/multinomial; inference/generator.py);
+        # explicit None checks: 0 is an (invalid) value, not an absent flag
+        temperature=_or(getattr(cli, "temperature", None), 1.0),
+        top_k=_or(getattr(cli, "sample_top_k", None), 0),
+        top_p=_or(getattr(cli, "sample_top_p", None), 1.0),
     )
     deterministic = args.eval_mode == "deterministic"
 

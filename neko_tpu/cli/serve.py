@@ -9,47 +9,24 @@ Docker image but no server; this is the entrypoint that image was missing.
 from __future__ import annotations
 
 import argparse
-import os
 from typing import Optional
 
 
 def build_generator(cli):
     """Checkpoint -> Generator (the eval.py restore path, minus tasks)."""
-    from neko_tpu.cli.build import build_context
-    from neko_tpu.data.batch import to_device_batch
-    from neko_tpu.data.packing import SequencePacker
-    from neko_tpu.inference.generator import Generator
-    from neko_tpu.training.arguments import TrainingArgs
-    from neko_tpu.utils.checkpoint import (
-        latest_checkpoint,
-        load_args_dict,
-        load_checkpoint,
+    from neko_tpu.cli.build import (
+        build_context,
+        load_state_for,
+        resolve_checkpoint_and_args,
     )
+    from neko_tpu.inference.generator import Generator
 
-    ckpt_path = cli.model_path
-    if os.path.isdir(ckpt_path) and not os.path.basename(ckpt_path).startswith(
-        "checkpoint_"
-    ):
-        found = latest_checkpoint(ckpt_path)
-        assert found, f"no checkpoint_* under {ckpt_path}"
-        ckpt_path = found
-    saved = load_args_dict(os.path.dirname(ckpt_path))
-    for key in ("cpu", "kv_cache_dtype"):
-        v = getattr(cli, key, None)
-        if v is not None:
-            saved[key] = v
-    known = {f.name for f in TrainingArgs.__dataclass_fields__.values()}
-    args = TrainingArgs(**{k: v for k, v in saved.items() if k in known})
-
-    import jax
-
+    ckpt_path, args = resolve_checkpoint_and_args(
+        cli.model_path,
+        {k: getattr(cli, k, None) for k in ("cpu", "kv_cache_dtype")},
+    )
     ctx, _ = build_context(args, tasks=[])
-    packer = SequencePacker(ctx.model_cfg)
-    n_data = dict(ctx.mesh.shape).get("data", 1)
-    arrays = packer.pack_batch([{"text": [0]}] * n_data)
-    arrays.pop("lengths")
-    state = ctx.init_state(to_device_batch(arrays))
-    state = load_checkpoint(ckpt_path, jax.tree.map(lambda x: x, state))
+    state, packer = load_state_for(ctx, ckpt_path)
 
     mesh = None
     if cli.mesh_model_axis and cli.mesh_model_axis > 1:
@@ -58,9 +35,9 @@ def build_generator(cli):
         mesh = create_mesh(model=cli.mesh_model_axis)
     return Generator(
         ctx.model, state.params, packer, mesh=mesh,
-        temperature=cli.temperature or 1.0,
-        top_k=cli.sample_top_k or 0,
-        top_p=cli.sample_top_p or 1.0,
+        temperature=1.0 if cli.temperature is None else cli.temperature,
+        top_k=0 if cli.sample_top_k is None else cli.sample_top_k,
+        top_p=1.0 if cli.sample_top_p is None else cli.sample_top_p,
     )
 
 

@@ -40,29 +40,42 @@ from neko_tpu.models.policy import NekoModel
 from neko_tpu.tokenizers.continuous import decode_np
 
 
-def apply_logit_filters(window, *, temperature: float = 1.0, top_k: int = 0,
-                        top_p: float = 1.0):
+def apply_logit_filters(window, *, temperature=1.0, top_k: int = 0,
+                        top_p=1.0, use_top_p: Optional[bool] = None):
     """Serving-time logit warps: temperature -> top-k -> top-p (nucleus).
 
     Operates on the restricted logit window along the last axis and returns
     warped logits for SAMPLING only; callers keep the unwarped window for
-    returned logits / NLL evaluation.  All three knobs are static Python
-    values (baked into the compiled decode scan — no per-step host work).
-    The reference offers only argmax/multinomial (gato_policy.py:453-458);
-    these are strict extensions, all off by default (temperature=1.0,
-    top_k=0, top_p=1.0 reproduce the reference's multinomial exactly).
+    returned logits / NLL evaluation.  The reference offers only
+    argmax/multinomial (gato_policy.py:453-458); these are strict
+    extensions, all off by default (temperature=1.0, top_k=0, top_p=1.0
+    reproduce the reference's multinomial exactly).
+
+    `temperature` and `top_p` may be TRACED scalars (the decode scan passes
+    them as operands so a long-lived server never recompiles over
+    client-supplied values); `top_k` is static (it shapes lax.top_k), and
+    `use_top_p` is the static on/off switch for the nucleus sort — required
+    when `top_p` is traced, inferred (`top_p < 1.0`) when it is a float.
 
     top-p keeps the minimal descending-probability prefix whose cumulative
     mass reaches `top_p` (the most likely token is always kept); ties at the
     cut keep every tied logit.
     """
-    if temperature != 1.0:
+    if isinstance(temperature, (int, float)):
+        if temperature != 1.0:
+            window = window / temperature
+    else:
         window = window / temperature
     W = window.shape[-1]
     if top_k and top_k < W:
         kth = jax.lax.top_k(window, top_k)[0][..., -1:]
         window = jnp.where(window < kth, -jnp.inf, window)
-    if top_p < 1.0:
+    if use_top_p is None:
+        assert isinstance(top_p, (int, float)), (
+            "use_top_p must be passed explicitly when top_p is traced"
+        )
+        use_top_p = top_p < 1.0
+    if use_top_p:
         desc = jnp.flip(jnp.sort(window, axis=-1), axis=-1)
         probs = jax.nn.softmax(desc, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
@@ -134,7 +147,9 @@ class Generator:
         self._decode = jit(self._decode_impl)
         self._embed_tokens = jit(self._embed_tokens_impl)
         self._embed_tokens_pos = jit(self._embed_tokens_pos_impl)
-        _samp = ("temperature", "top_k", "top_p")
+        # temperature/top_p are TRACED operands (no recompile across values);
+        # top_k shapes lax.top_k and use_top_p gates the nucleus sort -> static
+        _samp = ("top_k", "use_top_p")
         self._select = jit(
             self._select_impl,
             static_argnames=("start", "end", "deterministic") + _samp,
@@ -244,7 +259,7 @@ class Generator:
         )
 
     def _select_impl(self, logits, key, *, start, end, deterministic,
-                     temperature=1.0, top_k=0, top_p=1.0):
+                     temperature=1.0, top_k=0, top_p=1.0, use_top_p=False):
         """Restrict logits to [start, end] inclusive and pick a token id.
         Returns the UNWARPED window (eval consumers score raw logits)."""
         window = logits[start : end + 1]
@@ -252,7 +267,8 @@ class Generator:
             tok = jnp.argmax(window)
         else:
             warped = apply_logit_filters(
-                window, temperature=temperature, top_k=top_k, top_p=top_p
+                window, temperature=temperature, top_k=top_k, top_p=top_p,
+                use_top_p=use_top_p,
             )
             tok = jax.random.categorical(key, warped)
         return tok + start, window
@@ -341,6 +357,7 @@ class Generator:
                 last_logits, key, start=start, end=end,
                 deterministic=deterministic,
                 temperature=temperature, top_k=top_k, top_p=top_p,
+                use_top_p=top_p < 1.0,
             )
             out_tokens.append(int(tok))
             out_logits.append(np.asarray(window))
@@ -436,6 +453,7 @@ class Generator:
             deterministic=deterministic, with_pos=inner_pos_continuation,
             return_logits=return_logits, ring=ring,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            use_top_p=top_p < 1.0,
         )
         out = [np.asarray(ys[0], np.int64)]
         for y in ys[1:]:
@@ -476,6 +494,11 @@ class Generator:
         use generate_batch's ring decode for overflowing generation.
         """
         assert num_beams >= 1
+        assert num_beams <= end - start + 1, (
+            f"num_beams={num_beams} exceeds the {end - start + 1}-token "
+            "window: step 0 has only one live beam, so wider beams would be "
+            "filled with dead (-1e30) duplicates"
+        )
         S = self.cfg.context_len
         N = len(examples)
         arrays = self.packer.pack_batch(examples, pad_side="right")
@@ -583,7 +606,7 @@ class Generator:
         self, params, cache, last_logits, pos, next_pos, key, targets,
         *, n_steps, start, end, deterministic, with_pos, return_logits,
         return_cache=False, ring=False,
-        temperature=1.0, top_k=0, top_p=1.0,
+        temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
     ):
         """Fully-device decode loop: one compiled scan generates n_steps
         tokens without any host round-trip (per-token host syncs through the
@@ -611,7 +634,8 @@ class Generator:
                 tok = jnp.argmax(window, axis=-1)
             else:
                 warped = apply_logit_filters(
-                    window, temperature=temperature, top_k=top_k, top_p=top_p
+                    window, temperature=temperature, top_k=top_k, top_p=top_p,
+                    use_top_p=use_top_p,
                 )
                 tok = jax.random.categorical(sub, warped, axis=-1)
             tok = (tok + start).astype(jnp.int32)
@@ -658,7 +682,7 @@ class Generator:
         self, params, cache, small_batch, slot_start, key,
         *, obs_sep_tokens, action_tokens, clear_len, buffer_len,
         sel_start, sel_end, deterministic,
-        temperature=1.0, top_k=0, top_p=1.0,
+        temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
     ):
         """ONE compiled device call per env step of a rollout (rollout
         cache): embed the new timestep's [obs | sep] tokens, ring-extend the
@@ -689,17 +713,20 @@ class Generator:
             deterministic=deterministic, with_pos=False, return_logits=False,
             return_cache=True,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            use_top_p=use_top_p,
         )
         return tokens, cache
 
     def _select_batch_impl(self, logits, key, *, start, end, deterministic,
-                           temperature=1.0, top_k=0, top_p=1.0):
+                           temperature=1.0, top_k=0, top_p=1.0,
+                           use_top_p=False):
         window = logits[:, start : end + 1]
         if deterministic:
             tok = jnp.argmax(window, axis=-1)
         else:
             warped = apply_logit_filters(
-                window, temperature=temperature, top_k=top_k, top_p=top_p
+                window, temperature=temperature, top_k=top_k, top_p=top_p,
+                use_top_p=use_top_p,
             )
             tok = jax.random.categorical(key, warped, axis=-1)
         return (tok + start).astype(jnp.int32), window
@@ -1015,6 +1042,7 @@ class RolloutSession:
             sel_end=self.sel_end,
             deterministic=deterministic,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            use_top_p=top_p < 1.0,
         )
         self.slot_start = (self.slot_start + self.tpt) % self.L
         tokens = np.asarray(tokens, np.int64)

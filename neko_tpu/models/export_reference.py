@@ -138,7 +138,8 @@ def export_gato_state_dict(
 
 
 def save_reference_checkpoint(
-    path: str, params, cfg: ModelConfig, *, merge_lora: bool = True
+    path: str, params, cfg: ModelConfig, *, merge_lora: bool = True,
+    wte_rows: int = 1,
 ) -> None:
     """Write a reference-format `.pt` checkpoint (torch.save of the
     state_dict, matching utils.py:19-32's artifact)."""
@@ -147,7 +148,7 @@ def save_reference_checkpoint(
     sd = {
         k: torch.tensor(v)
         for k, v in export_gato_state_dict(
-            params, cfg, merge_lora=merge_lora
+            params, cfg, merge_lora=merge_lora, wte_rows=wte_rows
         ).items()
     }
     torch.save(sd, path)

@@ -31,16 +31,35 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from neko_tpu.inference.generator import _check_sampling_args
+
 
 class _Pending:
-    __slots__ = ("payload", "event", "result", "error", "key")
+    __slots__ = ("payload", "event", "result", "error", "key", "status",
+                 "cancelled")
 
     def __init__(self, payload: Dict, key):
         self.payload = payload
         self.event = threading.Event()
         self.result = None
         self.error: Optional[str] = None
+        self.status = 200
+        self.cancelled = False
         self.key = key
+
+
+def _opt(payload: Dict, key: str, default, cast):
+    """Explicit-None coercion: 0 is a VALUE (rejected downstream where
+    invalid), not an absent field."""
+    v = payload.get(key)
+    return default if v is None else cast(v)
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
 
 
 def _example_from_payload(p: Dict) -> Dict:
@@ -69,10 +88,14 @@ class NekoServer:
         port: int = 0,
         max_batch: int = 8,
         batch_window_ms: float = 5.0,
+        max_tokens: int = 256,
+        max_beams: int = 8,
     ):
         self.gen = generator
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
+        self.max_tokens = max_tokens
+        self.max_beams = min(max_beams, generator.cfg.token_space.text_tokens)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
@@ -120,10 +143,10 @@ class NekoServer:
                     return self._json(404, {"error": "not found"})
                 try:
                     result = server.submit(payload)
-                except Exception as e:  # noqa: BLE001 — surfaced to client
+                except (ValueError, KeyError, TypeError, AssertionError) as e:
                     return self._json(400, {"error": str(e)})
                 if result.error is not None:
-                    return self._json(400, {"error": result.error})
+                    return self._json(result.status, {"error": result.error})
                 self._json(200, result.result)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
@@ -146,6 +169,14 @@ class NekoServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self._worker.join(timeout=5)
+        # release any handler threads still waiting on queued requests
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            r.error, r.status = "server closing", 503
+            r.event.set()
 
     def __enter__(self):
         return self.start()
@@ -154,31 +185,71 @@ class NekoServer:
         self.close()
 
     # ------------------------------------------------------------- requests
+    # compile-variant bounds for a long-lived process: temperature/top_p are
+    # traced operands in the decode scan (no recompile across values);
+    # max_new_tokens is bucketed to powers of two (the scan generates the
+    # bucket, the response is truncated — identical tokens, same RNG chain);
+    # top_k (static, shapes lax.top_k) is snapped to this allowlist.
+    TOP_K_CHOICES = (0, 1, 2, 5, 10, 20, 50, 100)
+
     def submit(self, payload: Dict, timeout: float = 120.0) -> _Pending:
         kind = payload["_kind"]
         if kind == "generate":
+            want = _opt(payload, "max_new_tokens", 16, int)
+            if not 1 <= want <= self.max_tokens:
+                raise ValueError(
+                    f"max_new_tokens must be in [1, {self.max_tokens}]"
+                )
+            top_k = _opt(payload, "top_k", 0, int)
+            if top_k not in self.TOP_K_CHOICES:
+                top_k = min(
+                    (c for c in self.TOP_K_CHOICES if c >= max(top_k, 1)),
+                    default=self.TOP_K_CHOICES[-1],
+                )
+            num_beams = _opt(payload, "num_beams", 1, int)
+            if not 1 <= num_beams <= self.max_beams:
+                raise ValueError(f"num_beams must be in [1, {self.max_beams}]")
+            temperature = _opt(payload, "temperature", 1.0, float)
+            top_p = _opt(payload, "top_p", 1.0, float)
+            _check_sampling_args(temperature, top_k, top_p)
             key = (
                 "generate",
-                int(payload.get("max_new_tokens", 16)),
+                want,
+                _next_pow2(want),
                 bool(payload.get("deterministic", True)),
-                float(payload.get("temperature") or 1.0),
-                int(payload.get("top_k") or 0),
-                float(payload.get("top_p") or 1.0),
-                int(payload.get("num_beams") or 1),
+                temperature,
+                top_k,
+                top_p,
+                num_beams,
             )
         else:
+            action_kind = str(payload["action_kind"])
+            if action_kind not in ("continuous", "discrete"):
+                raise ValueError("action_kind must be continuous|discrete")
+            num_actions = _opt(payload, "num_actions", None,
+                               int) if "num_actions" in payload else None
+            if action_kind == "discrete":
+                if num_actions is None:
+                    raise ValueError("discrete actions require num_actions")
+                if int(payload["action_tokens"]) != 1:
+                    raise ValueError("discrete actions use action_tokens=1")
             key = (
                 "action",
-                str(payload["action_kind"]),
+                action_kind,
                 int(payload["action_tokens"]),
-                payload.get("num_actions") and int(payload["num_actions"]),
+                num_actions,
                 bool(payload.get("deterministic", True)),
             )
+        ex = _example_from_payload(payload)  # validate before queueing
+        if kind == "action" and not any(
+            "obs" in k or k == "images" for k in ex
+        ):
+            raise ValueError("action requests need an observation input")
         req = _Pending(payload, key)
-        _example_from_payload(payload)  # validate before queueing
         self._q.put(req)
         if not req.event.wait(timeout):
-            req.error = "timed out"
+            req.cancelled = True  # worker will skip it
+            req.error, req.status = "timed out", 504
         return req
 
     # --------------------------------------------------------------- worker
@@ -200,6 +271,8 @@ class NekoServer:
                     break
             groups: Dict[tuple, List[_Pending]] = {}
             for r in batch:
+                if r.cancelled:  # handler already timed out and responded
+                    continue
                 groups.setdefault(r.key, []).append(r)
             for key, rs in groups.items():
                 try:
@@ -207,20 +280,24 @@ class NekoServer:
                         self._serve_generate(key, rs)
                     else:
                         self._serve_action(key, rs)
-                except Exception as e:  # noqa: BLE001 — per-group isolation
+                except Exception as e:  # noqa: BLE001 — payloads were
+                    # validated pre-queue, so this is a server fault
                     for r in rs:
                         r.error = f"{type(e).__name__}: {e}"
+                        r.status = 500
                 for r in rs:
                     r.event.set()
 
     def _serve_generate(self, key, rs: List[_Pending]) -> None:
-        _, max_new, det, temp, top_k, top_p, num_beams = key
+        _, want, bucket, det, temp, top_k, top_p, num_beams = key
         ts = self.gen.cfg.token_space
         start, end = ts.start("text"), ts.end("text")
         examples = [_example_from_payload(r.payload) for r in rs]
         if num_beams > 1:
+            # beams are not length-bucketed: the winning hypothesis at
+            # `bucket` tokens can differ from the one at `want`
             tokens, scores = self.gen.generate_beam(
-                examples, max_new_tokens=max_new, start=start, end=end,
+                examples, max_new_tokens=want, start=start, end=end,
                 num_beams=num_beams,
             )
             for i, r in enumerate(rs):
@@ -230,13 +307,16 @@ class NekoServer:
                     "batched_with": len(rs) - 1,
                 }
             return
+        # generate the bucket length, return the first `want` tokens — the
+        # prefix is identical (the per-step RNG chain depends only on step
+        # order), so bucketing changes compile variants, not results
         tokens, _ = self.gen.generate_batch(
-            examples, max_new_tokens=max_new, start=start, end=end,
+            examples, max_new_tokens=bucket, start=start, end=end,
             deterministic=det, temperature=temp, top_k=top_k, top_p=top_p,
         )
         for i, r in enumerate(rs):
             r.result = {
-                "tokens": (tokens[i] - start).tolist(),
+                "tokens": (tokens[i, :want] - start).tolist(),
                 "batched_with": len(rs) - 1,
             }
 

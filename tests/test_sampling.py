@@ -179,6 +179,22 @@ def test_invalid_knobs_rejected(gen):
         gen.predict_text(PROMPT, max_length=2, top_k=-1)
 
 
+def test_temperature_top_p_do_not_recompile(gen):
+    """temperature/top_p are traced operands of the decode scan — a serving
+    process must not recompile per client-supplied value (top_k and the
+    nucleus on/off switch stay static)."""
+    ts = gen.cfg.token_space
+    kw = dict(max_new_tokens=3, start=ts.start("text"), end=ts.end("text"),
+              deterministic=False)
+    gen.generate_batch([PROMPT], temperature=0.7, top_p=0.9,
+                       rng=jax.random.key(0), **kw)
+    before = gen._decode_scan._cache_size()
+    for t, p in [(0.71, 0.91), (1.3, 0.5), (0.25, 0.999)]:
+        gen.generate_batch([PROMPT], temperature=t, top_p=p,
+                           rng=jax.random.key(1), **kw)
+    assert gen._decode_scan._cache_size() == before
+
+
 def test_generator_level_defaults(gen):
     """Knobs set at Generator construction apply to every call; per-call
     arguments override them (eval.py --temperature/--sample_top_k/

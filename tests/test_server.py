@@ -152,3 +152,45 @@ def test_bad_requests(server):
     assert code == 400 and "error" in body
     code, body = _post(server, "/v1/nope", {"text": [1]})
     assert code == 404
+    # invalid knob VALUES are rejected, not silently defaulted (0 is not
+    # "absent"); a bad action payload is refused before queueing
+    code, body = _post(server, "/v1/generate",
+                       {"text": [1], "temperature": 0})
+    assert code == 400
+    code, body = _post(server, "/v1/generate", {"text": [1], "top_p": 0})
+    assert code == 400
+    code, body = _post(server, "/v1/generate",
+                       {"text": [1], "num_beams": 999})
+    assert code == 400
+    code, body = _post(server, "/v1/action", {
+        "text": [1], "action_kind": "continuous", "action_tokens": 2,
+    })
+    assert code == 400 and "observation" in body["error"]
+    code, body = _post(server, "/v1/action", {
+        "discrete_obs": [[1]], "action_kind": "discrete", "action_tokens": 1,
+    })
+    assert code == 400 and "num_actions" in body["error"]
+
+
+def test_top_k_snapped_to_allowlist(server, gen):
+    """Arbitrary top_k values snap to the static-compile allowlist instead
+    of forcing a fresh decode-scan compile per value."""
+    code, body = _post(server, "/v1/generate", {
+        "text": [5, 6], "max_new_tokens": 3, "deterministic": False,
+        "top_k": 7,  # snaps to 10
+    })
+    assert code == 200 and len(body["tokens"]) == 3
+
+
+def test_bucketed_length_preserves_prefix(server, gen):
+    """max_new_tokens=5 runs in the 8-token compile bucket; the response
+    must equal the direct 5-token generation (same RNG chain prefix)."""
+    ts = gen.cfg.token_space
+    code, body = _post(server, "/v1/generate",
+                       {"text": [7, 7], "max_new_tokens": 5})
+    assert code == 200 and len(body["tokens"]) == 5
+    direct, _ = gen.generate_batch(
+        [{"text": [7, 7]}], max_new_tokens=5,
+        start=ts.start("text"), end=ts.end("text"),
+    )
+    assert body["tokens"] == (direct[0] - ts.start("text")).tolist()

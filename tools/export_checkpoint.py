@@ -34,39 +34,20 @@ def main() -> None:
 
     jax.config.update("jax_platforms", "cpu")
 
-    from neko_tpu.cli.build import build_context
-    from neko_tpu.data.batch import to_device_batch
-    from neko_tpu.data.packing import SequencePacker
-    from neko_tpu.models.export_reference import save_reference_checkpoint
-    from neko_tpu.training.arguments import TrainingArgs
-    from neko_tpu.utils.checkpoint import (
-        latest_checkpoint,
-        load_args_dict,
-        load_checkpoint,
+    from neko_tpu.cli.build import (
+        build_context,
+        load_state_for,
+        resolve_checkpoint_and_args,
     )
+    from neko_tpu.models.export_reference import save_reference_checkpoint
 
-    ckpt = cli.model_path
-    if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith(
-        "checkpoint_"
-    ):
-        found = latest_checkpoint(ckpt)
-        assert found, f"no checkpoint_* under {ckpt}"
-        ckpt = found
-    saved = load_args_dict(os.path.dirname(ckpt))
-    known = {f.name for f in TrainingArgs.__dataclass_fields__.values()}
-    args = TrainingArgs(**{k: v for k, v in saved.items() if k in known})
-    args.cpu = True
-
+    ckpt, args = resolve_checkpoint_and_args(cli.model_path, {"cpu": True})
     ctx, _ = build_context(args, tasks=[])
-    packer = SequencePacker(ctx.model_cfg)
-    arrays = packer.pack_batch([{"text": [0]}])
-    arrays.pop("lengths")
-    state = ctx.init_state(to_device_batch(arrays))
-    state = load_checkpoint(ckpt, jax.tree.map(lambda x: x, state))
+    state, _ = load_state_for(ctx, ckpt)
 
     save_reference_checkpoint(
         cli.out, state.params, ctx.model_cfg,
-        merge_lora=not cli.no_merge_lora,
+        merge_lora=not cli.no_merge_lora, wte_rows=cli.wte_rows,
     )
     print(f"wrote {cli.out} (from {ckpt}, step {int(state.step)})")
 
