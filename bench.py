@@ -303,5 +303,25 @@ def main():
     print(json.dumps(out))
 
 
+def _watchdog(seconds: float) -> None:
+    """A wedged accelerator tunnel hangs device calls indefinitely (no
+    error, no return).  Emit a diagnosable one-line JSON and exit instead of
+    hanging the driver: normal full runs finish well under the default."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "bench_error",
+            "error": f"watchdog: no completion within {seconds:.0f}s "
+                     "(accelerator tunnel likely unavailable)",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _watchdog(float(os.environ.get("NEKO_BENCH_WATCHDOG", 2400)))
     main()

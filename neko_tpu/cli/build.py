@@ -218,6 +218,7 @@ def optimizer_config_from_args(args: TrainingArgs) -> OptimizerConfig:
         disable_grad_clip=args.disable_grad_clip,
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         lora_only=bool(args.lora),
+        ema_decay=args.ema_decay,
     )
 
 

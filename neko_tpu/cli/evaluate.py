@@ -70,6 +70,12 @@ def run(cli) -> dict:
 
     ctx, tasks = build_context(args, tasks=tasks)
     state, packer = load_state_for(ctx, ckpt_path)
+    eval_params = state.params
+    if getattr(cli, "use_ema", False):
+        assert state.ema_params is not None, (
+            "checkpoint has no EMA shadow (train with --ema_decay > 0)"
+        )
+        eval_params = state.ema_params
 
     # --mesh_model_axis > 1 (CLI-only; deliberately NOT merged into the
     # restore context, whose dummy init batch can't shard over 'data'):
@@ -83,7 +89,7 @@ def run(cli) -> dict:
 
         mesh = create_mesh(model=tp)
     gen = Generator(
-        ctx.model, state.params, packer, mesh=mesh,
+        ctx.model, eval_params, packer, mesh=mesh,
         # sampling knobs apply in stochastic eval mode only (a capability
         # beyond the reference's argmax/multinomial; inference/generator.py);
         # explicit None checks: 0 is an (invalid) value, not an absent flag
@@ -168,6 +174,9 @@ def main(argv: Optional[list] = None) -> None:
                         "--top_k, which selects prompt episodes by return")
     p.add_argument("--sample_top_p", type=float, default=None,
                    help="nucleus sampling mass (1.0=off)")
+    p.add_argument("--use_ema", action="store_true", default=False,
+                   help="evaluate the EMA shadow params (requires a "
+                        "checkpoint trained with --ema_decay > 0)")
     p.add_argument("--cpu", action="store_true", default=None)
     p.add_argument("--mesh_model_axis", type=int, default=None,
                    help="tensor-parallel serving degree: shard the model "

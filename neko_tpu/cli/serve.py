@@ -27,6 +27,12 @@ def build_generator(cli):
     )
     ctx, _ = build_context(args, tasks=[])
     state, packer = load_state_for(ctx, ckpt_path)
+    params = state.params
+    if getattr(cli, "use_ema", False):
+        assert state.ema_params is not None, (
+            "checkpoint has no EMA shadow (train with --ema_decay > 0)"
+        )
+        params = state.ema_params
 
     mesh = None
     if cli.mesh_model_axis and cli.mesh_model_axis > 1:
@@ -34,7 +40,7 @@ def build_generator(cli):
 
         mesh = create_mesh(model=cli.mesh_model_axis)
     return Generator(
-        ctx.model, state.params, packer, mesh=mesh,
+        ctx.model, params, packer, mesh=mesh,
         temperature=1.0 if cli.temperature is None else cli.temperature,
         top_k=0 if cli.sample_top_k is None else cli.sample_top_k,
         top_p=1.0 if cli.sample_top_p is None else cli.sample_top_p,
@@ -59,6 +65,8 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--sample_top_k", type=int, default=None)
     p.add_argument("--sample_top_p", type=float, default=None)
+    p.add_argument("--use_ema", action="store_true", default=False,
+                   help="serve the EMA shadow params")
     cli = p.parse_args(argv)
 
     from neko_tpu.serving.server import NekoServer

@@ -128,6 +128,7 @@ class TrainingArgs:
     mesh_seq_axis: int = field(default=1, metadata={"help": "Sequence-parallel degree: shards the context dim over a 'seq' mesh axis and runs ring attention over it — trains contexts larger than one chip's attention memory (new capability; the reference truncates)."})
     max_patches: int = field(default=-1, metadata={"help": "Static per-example image-patch budget; -1 = derive from tasks."})
     remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
+    ema_decay: float = field(default=0.0, metadata={"help": "Exponential-moving-average of params, updated in the compiled train step (0 = off; typical 0.999-0.9999). The shadow copy rides checkpoints; evaluate with eval.py --use_ema. Capability beyond the reference."})
     seed: int = field(default=42)
     prefetch_batches: int = field(default=2, metadata={"help": "Host batches packed ahead of the device by a background thread; 0 disables."})
     prefetch_workers: int = field(default=1, metadata={"help": "Prefetch threads packing+transferring batches concurrently; >1 helps image-dense mixtures but makes batch order scheduling-dependent."})

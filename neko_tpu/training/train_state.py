@@ -37,6 +37,10 @@ class TrainState:
     # — a typed key baked into the state would tie the checkpoint to the
     # --rng_impl it was saved under). Per-step keys derive from (seed, step).
     seed: jnp.ndarray
+    # exponential moving average of params (--ema_decay > 0; a capability
+    # the reference lacks). None when disabled — None is a leafless pytree
+    # node, so pre-EMA checkpoints keep restoring into this state.
+    ema_params: Any = None
 
 
 @dataclasses.dataclass
@@ -60,6 +64,10 @@ class OptimizerConfig:
     # non-transformer modules (embeddings, head, image embedder) — matching
     # peft wrapping model.transformer only (reference train.py:109-112).
     lora_only: bool = False
+    # EMA of params: 0.0 = off; typical values 0.999-0.9999.  The shadow
+    # copy updates inside the compiled train step, rides the TrainState
+    # through checkpoints, and serves eval via --use_ema.
+    ema_decay: float = 0.0
 
 
 def make_optimizer(cfg: OptimizerConfig) -> Tuple[optax.GradientTransformation, Callable]:
@@ -142,11 +150,16 @@ class TrainContext:
         def _init(rng, batch):
             params = self.model.init({"params": rng}, batch)["params"]
             opt_state = self.tx.init(params)
+            ema = (
+                jax.tree.map(jnp.copy, params)
+                if self.opt_cfg.ema_decay > 0 else None
+            )
             return TrainState(
                 step=jnp.zeros((), jnp.int32),
                 params=params,
                 opt_state=opt_state,
                 seed=jnp.uint32(self.seed + 1),
+                ema_params=ema,
             )
 
         # Evaluate shapes first so we can jit-init directly into the sharded
@@ -203,11 +216,19 @@ class TrainContext:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
+            ema = state.ema_params
+            if ema is not None:
+                d = self.opt_cfg.ema_decay
+                ema = jax.tree.map(
+                    lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                    ema, new_params,
+                )
             new_state = TrainState(
                 step=state.step + 1,
                 params=new_params,
                 opt_state=new_opt,
                 seed=state.seed,
+                ema_params=ema,
             )
             return new_state, loss
 

@@ -71,9 +71,25 @@ def latest_checkpoint(exp_dir: str) -> Optional[str]:
 
 def load_checkpoint(path: str, abstract_state: Any) -> Any:
     """Restore into the sharded layout described by `abstract_state`
-    (a pytree of jax.ShapeDtypeStruct with shardings, or a concrete state)."""
+    (a pytree of jax.ShapeDtypeStruct with shardings, or a concrete state).
+
+    Checkpoints written before the TrainState grew its `ema_params` field
+    lack that entry in their tree metadata; when the target's ema_params is
+    None (EMA disabled) the restore retries against the legacy field set so
+    old artifacts keep loading."""
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), abstract_state)
+    try:
+        return ckptr.restore(os.path.abspath(path), abstract_state)
+    except ValueError:
+        if getattr(abstract_state, "ema_params", "absent") is not None:
+            raise
+        fields = {
+            f.name: getattr(abstract_state, f.name)
+            for f in dataclasses.fields(abstract_state)
+            if f.name != "ema_params"
+        }
+        restored = ckptr.restore(os.path.abspath(path), fields)
+        return type(abstract_state)(**restored, ema_params=None)
 
 
 def load_params_only(path: str, abstract_state: Any) -> Any:
