@@ -62,6 +62,19 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return b
 
 
+def _truncate_at_stop(ids: List[int], stop) -> List[int]:
+    """Cut the response at the first stop id (exclusive).  Post-processing
+    only — the decode scan still runs its static length, so `stop` does not
+    join the coalescing key."""
+    if not stop:
+        return ids
+    stops = set(int(s) for s in stop)
+    for i, t in enumerate(ids):
+        if t in stops:
+            return ids[:i]
+    return ids
+
+
 def _example_from_payload(p: Dict) -> Dict:
     ex = {}
     for k in ("text",):
@@ -315,8 +328,9 @@ class NekoServer:
             deterministic=det, temperature=temp, top_k=top_k, top_p=top_p,
         )
         for i, r in enumerate(rs):
+            ids = (tokens[i, :want] - start).tolist()
             r.result = {
-                "tokens": (tokens[i, :want] - start).tolist(),
+                "tokens": _truncate_at_stop(ids, r.payload.get("stop")),
                 "batched_with": len(rs) - 1,
             }
 

@@ -172,6 +172,21 @@ def test_bad_requests(server):
     assert code == 400 and "num_actions" in body["error"]
 
 
+def test_stop_tokens_truncate(server, gen):
+    """`stop` ids cut the response at the first hit (host post-processing —
+    not part of the coalescing key)."""
+    code, body = _post(server, "/v1/generate",
+                       {"text": [5, 6], "max_new_tokens": 6})
+    assert code == 200
+    full = body["tokens"]
+    stop_at = full[2]
+    code, body = _post(server, "/v1/generate",
+                       {"text": [5, 6], "max_new_tokens": 6,
+                        "stop": [stop_at]})
+    assert code == 200
+    assert body["tokens"] == full[: full.index(stop_at)]
+
+
 def test_top_k_snapped_to_allowlist(server, gen):
     """Arbitrary top_k values snap to the static-compile allowlist instead
     of forcing a fresh decode-scan compile per value."""
