@@ -120,7 +120,10 @@ def test_packer_invariants(examples, pad_side):
         elif "continuous_actions" in ex:
             lo = TS.continuous_start
             assert (tids >= lo).all()
-            assert (tids < lo + TS.continuous_tokens).all()
+            # <= (not <): x == 1.0 encodes to bin n_bins — the reference's
+            # unclipped top bin (input_tokenizers.py:24-25), reproduced
+            # bit-exactly here (tokenizers/continuous.py)
+            assert (tids <= lo + TS.continuous_tokens).all()
         else:
             lo = TS.discrete_start
             assert (tids >= lo).all()
