@@ -164,6 +164,15 @@ def test_beam_return_logits_along_path(gen):
     np.testing.assert_allclose(logits[0, 0], wins, rtol=0, atol=2e-4)
 
 
+def test_beam_wider_than_window_rejected(gen):
+    ts = gen.cfg.token_space
+    start, end = ts.start("discrete"), ts.end("discrete")
+    W = end - start + 1
+    with pytest.raises(AssertionError, match="num_beams"):
+        gen.generate_beam([PROMPT], max_new_tokens=2, start=start, end=end,
+                          num_beams=W + 1)
+
+
 def test_predict_text_beam(gen):
     logits, ids = gen.predict_text(PROMPT, max_length=4, num_beams=3)
     ts = gen.cfg.token_space

@@ -147,6 +147,26 @@ def test_concurrent_requests_coalesce(server, gen):
     assert batched_with > 0, "no coalescing observed"
 
 
+def test_server_composes_with_tensor_parallel(gen):
+    """A server over a TP-sharded Generator returns the same tokens as the
+    single-device one (the serving mesh threads through every jitted fn)."""
+    from neko_tpu.parallel.mesh import create_mesh
+
+    gen_tp = Generator(
+        gen.model, gen.params, gen.packer, mesh=create_mesh(model=2)
+    )
+    with NekoServer(gen_tp, port=0, max_batch=2) as s:
+        code, body = _post(s, "/v1/generate",
+                           {"text": [5, 6, 7], "max_new_tokens": 4})
+    assert code == 200
+    ts = gen.cfg.token_space
+    direct, _ = gen.generate_batch(
+        [{"text": [5, 6, 7]}], max_new_tokens=4,
+        start=ts.start("text"), end=ts.end("text"),
+    )
+    assert body["tokens"] == (direct[0] - ts.start("text")).tolist()
+
+
 def test_bad_requests(server):
     code, body = _post(server, "/v1/generate", {"max_new_tokens": 4})
     assert code == 400 and "error" in body
