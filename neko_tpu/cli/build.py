@@ -249,15 +249,9 @@ def resolve_checkpoint_and_args(model_path: str, overrides: Optional[dict] = Non
     restore contract (eval.py:22-38).  Returns (ckpt_path, TrainingArgs)."""
     import os
 
-    from neko_tpu.utils.checkpoint import latest_checkpoint, load_args_dict
+    from neko_tpu.utils.checkpoint import load_args_dict, resolve_checkpoint_dir
 
-    ckpt_path = model_path
-    if os.path.isdir(ckpt_path) and not os.path.basename(ckpt_path).startswith(
-        "checkpoint_"
-    ):
-        found = latest_checkpoint(ckpt_path)
-        assert found, f"no checkpoint_* under {ckpt_path}"
-        ckpt_path = found
+    ckpt_path = resolve_checkpoint_dir(model_path)
     saved = load_args_dict(os.path.dirname(ckpt_path))
     for k, v in (overrides or {}).items():
         if v is not None:

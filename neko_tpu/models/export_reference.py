@@ -68,9 +68,16 @@ def export_gato_state_dict(
         params["predict_token"]["kernel"]
     )[:, : ts.vocab_size].T
 
-    if cfg.use_pos_encoding and "pos_embed_observation" in params:
+    # GatoPolicy constructs pos_embed_observation UNCONDITIONALLY
+    # (gato_policy.py:149) — strict load needs the key even when this model
+    # never exercised inner positions
+    if "pos_embed_observation" in params:
         sd["pos_embed_observation.weight"] = _np(
             params["pos_embed_observation"]["embedding"]
+        )
+    else:
+        sd["pos_embed_observation.weight"] = np.zeros(
+            (cfg.context_len, cfg.embed_dim), np.float32
         )
 
     tr = params["transformer"]
@@ -105,6 +112,31 @@ def export_gato_state_dict(
         sd[p + "attn.masked_bias"] = np.float32(-1e4)
     sd["transformer.ln_f.weight"] = _np(tr["ln_f"]["scale"])
     sd["transformer.ln_f.bias"] = _np(tr["ln_f"]["bias"])
+
+    if "image_embedding" not in params:
+        # GatoPolicy also constructs ImageEmbedding unconditionally
+        # (gato_policy.py:138-145); a model trained without images (our
+        # max_patches == 0) has no such module — synthesize deterministic
+        # placeholders so strict load succeeds (never consulted unless the
+        # loaded model is fed images: zero weights, identity-ish GN)
+        mid, ps, D = cfg.resid_mid_channels, cfg.patch_size, cfg.embed_dim
+        ip = "image_embedding.patch_embedding."
+        sd[ip + "conv1.weight"] = np.zeros((mid, 3, 3, 3), np.float32)
+        sd[ip + "conv1.bias"] = np.zeros((mid,), np.float32)
+        sd[ip + "conv2.weight"] = np.zeros((3, mid, 3, 3), np.float32)
+        sd[ip + "conv2.bias"] = np.zeros((3,), np.float32)
+        sd[ip + "gn2.weight"] = np.ones((mid,), np.float32)
+        sd[ip + "gn2.bias"] = np.zeros((mid,), np.float32)
+        sd["image_embedding.post_embedding_projection.weight"] = np.zeros(
+            (D, ps * ps * 3), np.float32
+        )
+        sd["image_embedding.post_embedding_projection.bias"] = np.zeros(
+            (D,), np.float32
+        )
+        if cfg.use_patch_pos_encoding:
+            z = np.zeros((cfg.position_vocab_size, D), np.float32)
+            sd["image_embedding.patch_pos_encoding.height_pos_embedding.weight"] = z
+            sd["image_embedding.patch_pos_encoding.width_pos_embedding.weight"] = z.copy()
 
     if "image_embedding" in params:
         ie = params["image_embedding"]

@@ -156,7 +156,10 @@ class NekoServer:
                     return self._json(404, {"error": "not found"})
                 try:
                     result = server.submit(payload)
-                except (ValueError, KeyError, TypeError, AssertionError) as e:
+                except Exception as e:  # noqa: BLE001
+                    # anything raised BEFORE queueing is payload-induced
+                    # (submit validates; OverflowError from absurd numbers,
+                    # etc.) — client error, never a worker fault
                     return self._json(400, {"error": str(e)})
                 if result.error is not None:
                     return self._json(result.status, {"error": result.error})
@@ -214,6 +217,8 @@ class NekoServer:
                     f"max_new_tokens must be in [1, {self.max_tokens}]"
                 )
             top_k = _opt(payload, "top_k", 0, int)
+            if top_k < 0:
+                raise ValueError(f"top_k must be >= 0 (0 = off), got {top_k}")
             if top_k not in self.TOP_K_CHOICES:
                 top_k = min(
                     (c for c in self.TOP_K_CHOICES if c >= max(top_k, 1)),
@@ -225,9 +230,13 @@ class NekoServer:
             temperature = _opt(payload, "temperature", 1.0, float)
             top_p = _opt(payload, "top_p", 1.0, float)
             _check_sampling_args(temperature, top_k, top_p)
+            if payload.get("stop") is not None:
+                payload["stop"] = [int(s) for s in payload["stop"]]
+            # requested length stays OUT of the key: requests differing only
+            # in want coalesce into the shared pow2 bucket and each response
+            # slices its own prefix
             key = (
                 "generate",
-                want,
                 _next_pow2(want),
                 bool(payload.get("deterministic", True)),
                 temperature,
@@ -235,6 +244,19 @@ class NekoServer:
                 top_p,
                 num_beams,
             )
+            if num_beams > 1:
+                # beams run at the exact requested length (no bucketing —
+                # the winning hypothesis depends on it) and must fit the
+                # context; surface overflow as a client error, not a 500
+                pe = _example_from_payload(payload)
+                L = len(self.gen.packer.pack_example(pe).tokens)
+                S = self.gen.cfg.context_len
+                if L + want > S:
+                    raise ValueError(
+                        f"beam search needs prompt+max_new_tokens <= "
+                        f"context ({L} + {want} > {S})"
+                    )
+                key = key + (want,)
         else:
             action_kind = str(payload["action_kind"])
             if action_kind not in ("continuous", "discrete"):
@@ -259,6 +281,9 @@ class NekoServer:
         ):
             raise ValueError("action requests need an observation input")
         req = _Pending(payload, key)
+        if self._stop.is_set():
+            req.error, req.status = "server closing", 503
+            return req
         self._q.put(req)
         if not req.event.wait(timeout):
             req.cancelled = True  # worker will skip it
@@ -302,32 +327,36 @@ class NekoServer:
                     r.event.set()
 
     def _serve_generate(self, key, rs: List[_Pending]) -> None:
-        _, want, bucket, det, temp, top_k, top_p, num_beams = key
+        _, bucket, det, temp, top_k, top_p, num_beams = key[:7]
         ts = self.gen.cfg.token_space
         start, end = ts.start("text"), ts.end("text")
         examples = [_example_from_payload(r.payload) for r in rs]
         if num_beams > 1:
-            # beams are not length-bucketed: the winning hypothesis at
-            # `bucket` tokens can differ from the one at `want`
+            # beams run at the exact requested length (key carries it): the
+            # winning hypothesis at `bucket` tokens can differ from `want`'s
+            want = key[7]
             tokens, scores = self.gen.generate_beam(
                 examples, max_new_tokens=want, start=start, end=end,
                 num_beams=num_beams,
             )
             for i, r in enumerate(rs):
+                ids = (tokens[i, 0] - start).tolist()
                 r.result = {
-                    "tokens": (tokens[i, 0] - start).tolist(),
+                    "tokens": _truncate_at_stop(ids, r.payload.get("stop")),
                     "score": float(scores[i, 0]),
                     "batched_with": len(rs) - 1,
                 }
             return
-        # generate the bucket length, return the first `want` tokens — the
-        # prefix is identical (the per-step RNG chain depends only on step
-        # order), so bucketing changes compile variants, not results
+        # generate the bucket length, return each request's own prefix — the
+        # prefix is identical to a `want`-length run (the per-step RNG chain
+        # depends only on step order), so bucketing changes compile variants
+        # and coalescing groups, not results
         tokens, _ = self.gen.generate_batch(
             examples, max_new_tokens=bucket, start=start, end=end,
             deterministic=det, temperature=temp, top_k=top_k, top_p=top_p,
         )
         for i, r in enumerate(rs):
+            want = _opt(r.payload, "max_new_tokens", 16, int)
             ids = (tokens[i, :want] - start).tolist()
             r.result = {
                 "tokens": _truncate_at_stop(ids, r.payload.get("stop")),

@@ -219,10 +219,21 @@ class TrainContext:
             ema = state.ema_params
             if ema is not None:
                 d = self.opt_cfg.ema_decay
-                ema = jax.tree.map(
+                k = self.opt_cfg.gradient_accumulation_steps
+                updated = jax.tree.map(
                     lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
                     ema, new_params,
                 )
+                if k > 1:
+                    # decay once per OPTIMIZER update, not per micro-step:
+                    # MultiSteps applies the update on every k-th call, so
+                    # decaying each call would compound to d^k per update
+                    boundary = (state.step + 1) % k == 0
+                    ema = jax.tree.map(
+                        lambda u, e: jnp.where(boundary, u, e), updated, ema
+                    )
+                else:
+                    ema = updated
             new_state = TrainState(
                 step=state.step + 1,
                 params=new_params,

@@ -54,6 +54,19 @@ def save_checkpoint(exp_dir: str, state: Any, step: int, args: Any = None) -> st
     return path
 
 
+def resolve_checkpoint_dir(model_path: str) -> str:
+    """`model_path` may be a checkpoint_<N> dir or an experiment dir (the
+    LATEST checkpoint is used) — the shared resolution step behind eval.py,
+    serve.py and the tools/."""
+    if os.path.isdir(model_path) and not os.path.basename(
+        model_path
+    ).startswith("checkpoint_"):
+        found = latest_checkpoint(model_path)
+        assert found, f"no checkpoint_* under {model_path}"
+        return found
+    return model_path
+
+
 def latest_checkpoint(exp_dir: str) -> Optional[str]:
     if not os.path.isdir(exp_dir):
         return None

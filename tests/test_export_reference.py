@@ -150,6 +150,47 @@ def test_save_reference_checkpoint(tmp_path, exported):
     ref2.load_state_dict(sd, strict=True)
 
 
+def test_textonly_model_exports_strict():
+    """A model trained WITHOUT images (max_patches=0 — no image_embedding
+    module, no exercised pos table beyond text) must still export a
+    strict-loadable checkpoint: GatoPolicy constructs ImageEmbedding and
+    pos_embed_observation unconditionally (gato_policy.py:138-149)."""
+    cfg = ModelConfig(
+        embed_dim=D, layers=L, heads=H, dropout=0.0, context_len=S,
+        max_patches=0, patch_size=16, resid_mid_channels=128, num_groups=32,
+        position_vocab_size=128, dtype="float32", attention_impl="xla",
+    )
+    model, packer, params = _fresh_text_only(cfg)
+    assert "image_embedding" not in params
+    sd = {
+        k: torch.tensor(np.asarray(v))
+        for k, v in export_gato_state_dict(params, cfg).items()
+    }
+    GatoPolicy = _load_reference_policy()
+    ref = GatoPolicy(
+        device="cpu", embed_dim=D, layers=L, heads=H, dropout=0.0,
+        patch_size=16, resid_mid_channels=128, num_groups=32,
+        position_vocab_size=128, context_len=S, activation_fn="gelu",
+        use_pos_encoding=True, use_patch_pos_encoding=True, flash=False,
+        pad_seq=False,
+    )
+    ref.load_state_dict(sd, strict=True)
+    ref.eval()
+    # text logits still agree
+    arrays = packer.pack_batch([{"text": [3, 4, 5]}], pad_side="right")
+    n = int(arrays.pop("lengths")[0])
+    from neko_tpu.data.batch import to_device_batch as tdb
+
+    ours = np.asarray(model.apply({"params": params}, tdb(arrays))[0])[0, :n]
+    with torch.no_grad():
+        ref_logits, _ = ref.forward(
+            [{"text": torch.tensor([3, 4, 5])}], compute_loss=False
+        )
+    theirs = ref_logits[0].numpy()[:n]
+    np.testing.assert_allclose(ours[:, : theirs.shape[-1]], theirs,
+                               atol=3e-4, rtol=1e-3)
+
+
 def test_lora_merge():
     cfg = ModelConfig(
         embed_dim=32, layers=1, heads=2, dropout=0.0, context_len=32,

@@ -30,15 +30,12 @@ def main() -> None:
     import numpy as np
     import orbax.checkpoint as ocp
 
-    from neko_tpu.utils.checkpoint import latest_checkpoint, load_args_dict
+    from neko_tpu.utils.checkpoint import (
+        load_args_dict,
+        resolve_checkpoint_dir,
+    )
 
-    ckpt = cli.model_path
-    if os.path.isdir(ckpt) and not os.path.basename(ckpt).startswith(
-        "checkpoint_"
-    ):
-        found = latest_checkpoint(ckpt)
-        assert found, f"no checkpoint_* under {ckpt}"
-        ckpt = found
+    ckpt = resolve_checkpoint_dir(cli.model_path)
 
     meta = ocp.StandardCheckpointer().metadata(os.path.abspath(ckpt))
     tree = getattr(meta, "item_metadata", meta)
