@@ -180,6 +180,10 @@ class Generator:
                 "return_logits",
             ),
         )
+        self._spec_decode = jit(
+            self._spec_decode_impl,
+            static_argnames=("n_steps", "start", "end", "K", "ngram"),
+        )
 
     def _jit(self, fn, **kw):
         """jax.jit that traces (and runs) under the serving mesh, so the
@@ -532,6 +536,132 @@ class Generator:
         if return_logits:
             return tokens, scores, np.asarray(ys[2], np.float32)
         return tokens, scores
+
+    def generate_spec(
+        self,
+        example: Dict,
+        *,
+        max_new_tokens: int,
+        start: int,
+        end: int,
+        speculate_k: int = 4,
+        lookup_ngram: int = 2,
+    ) -> Tuple[np.ndarray, int]:
+        """LOSSLESS speculative greedy decoding via prompt-lookup proposals.
+
+        The serving decode step is bandwidth-bound on the KV-cache streams
+        (PROFILE.md: the [B·H x (1,S)x(S,hd)] matvec caps at the per-stream
+        rate on every path measured) — per-token cost cannot drop further.
+        Speculation sidesteps the per-TOKEN wall: each round verifies
+        1 + speculate_k candidate tokens in ONE chunked forward
+        (extend_step), which streams the cache ONCE for the whole chunk.
+        Proposals come from prompt-lookup (the most recent prior occurrence
+        of the trailing `lookup_ngram` suggests the continuation — no draft
+        model, Saxena 2023 'prompt lookup decoding'); every emitted token is
+        verified equal to what greedy decoding would produce, so the output
+        is BIT-IDENTICAL to generate() deterministic — only the number of
+        device rounds changes (`rounds` in the return; tokens/round > 1 is
+        the speedup on a bandwidth-bound decode).
+
+        Text-prompt examples only (the lookup needs a token history).
+        Returns (token_ids [max_new_tokens], rounds_used).
+        """
+        assert "images" not in example, "spec decode needs a token history"
+        S = self.cfg.context_len
+        K = int(speculate_k)
+        assert K >= 1 and lookup_ngram >= 1
+        arrays = self.packer.pack_batch([example], pad_side="right")
+        L = int(arrays.pop("lengths")[0])
+        assert L + max_new_tokens + K + 1 <= S, (
+            "spec decode does not support context overflow"
+        )
+        batch = to_device_batch(arrays)
+        emb = self._embed_batch(self.params, batch)
+        mask = np.zeros((1, S), bool)
+        mask[0, :L] = True
+        logits, cache = self._prefill(self.params, emb, jnp.asarray(mask))
+        hist = np.zeros(S + K + 1, np.int32)
+        hist[:L] = np.asarray(arrays["tokens"][0][:L])
+        toks, rounds = self._spec_decode(
+            self.params, cache, logits[0, L - 1], jnp.asarray(hist),
+            jnp.int32(L),
+            n_steps=max_new_tokens, start=start, end=end, K=K,
+            ngram=int(lookup_ngram),
+        )
+        return np.asarray(toks, np.int64), int(rounds)
+
+    def _spec_decode_impl(
+        self, params, cache, last_logits, hist, pos,
+        *, n_steps, start, end, K, ngram,
+    ):
+        """Device loop: one extend_step verifies a0 + K proposals per round.
+
+        Cache discipline: round r writes chunk k/v at [pos, pos+K]; only the
+        accepted prefix is valid, but the NEXT round's extend_step clears
+        [pos', pos'+K] (pos' = pos + accepted + 1 <= pos+K+1) before anything
+        later attends it, so stale entries are never visible — the same
+        eviction argument as the rollout cache (models/transformer.py
+        'extend' branch)."""
+        S = self.cfg.context_len
+        Hlen = hist.shape[0]
+        out = jnp.zeros(n_steps + K + 1, jnp.int32)
+
+        def lookup(hist, pos):
+            # most recent i with hist[i:i+ngram] == hist[pos-ngram:pos]
+            idx = jnp.arange(Hlen)
+            ok = idx < pos - ngram  # candidate start strictly before suffix
+            match = jnp.ones(Hlen, bool)
+            for j in range(ngram):
+                tail = hist[jnp.clip(pos - ngram + j, 0, Hlen - 1)]
+                match = match & (jnp.roll(hist, -j) == tail)
+            i_star = jnp.max(jnp.where(ok & match, idx, -1))
+            # proposals: the ngram's historical continuation (or repeat the
+            # last token when no match — acceptance then decides)
+            base = jnp.where(i_star >= 0, i_star + ngram, pos - 1)
+            return jax.lax.dynamic_slice(hist, (jnp.clip(base, 0, Hlen - K),),
+                                         (K,))
+
+        def cond(carry):
+            return carry[0] < n_steps
+
+        def body(carry):
+            emitted, cache, last_logits, hist, pos, out, rounds = carry
+            a0 = (
+                jnp.argmax(last_logits[start : end + 1]) + start
+            ).astype(jnp.int32)
+            hist = jax.lax.dynamic_update_slice(hist, a0[None], (pos,))
+            props = lookup(hist, pos + 1)                   # [K]
+            chunk = jnp.concatenate([a0[None], props])      # [K+1]
+            emb = self.model.apply(
+                {"params": params}, chunk[None], method=NekoModel.embed_tokens
+            )
+            logits, vars_ = self.model.apply(
+                {"params": params, "cache": cache},
+                emb, pos[None], pos[None], K + 1, S,
+                method=NekoModel.extend_step, mutable=["cache"],
+            )
+            cache = vars_["cache"]
+            win = logits[0, :, start : end + 1]             # [K+1, W]
+            greedy = (jnp.argmax(win, axis=-1) + start).astype(jnp.int32)
+            # accept proposals while each matches the true greedy successor
+            ok = props == greedy[:K]
+            m = jnp.argmin(jnp.concatenate(
+                [ok.astype(jnp.int32), jnp.zeros(1, jnp.int32)]
+            ))  # length of the accepted prefix
+            # emit [a0, accepted proposals...]; next round's a0 = greedy[m]
+            out = jax.lax.dynamic_update_slice(out, chunk, (emitted,))
+            hist = jax.lax.dynamic_update_slice(hist, chunk, (pos,))
+            return (
+                emitted + m + 1, cache, logits[0, m], hist,
+                pos + m + 1, out, rounds + 1,
+            )
+
+        init = (jnp.int32(0), cache, last_logits, hist, pos, out,
+                jnp.int32(0))
+        emitted, _, _, _, _, out, rounds = jax.lax.while_loop(
+            cond, body, init
+        )
+        return out[:n_steps], rounds
 
     def _beam_scan_impl(
         self, params, cache, last_logits, pos, next_pos,

@@ -1,0 +1,111 @@
+"""Speculative greedy decoding (prompt-lookup proposals, chunked verify).
+
+THE invariant: generate_spec is LOSSLESS — token-for-token equal to plain
+greedy decoding for every prompt; speculation only changes how many device
+rounds produce them.  On repetitive prompts the accepted proposals make
+rounds < tokens (the speedup on a bandwidth-bound decode step)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from neko_tpu.inference.generator import Generator
+
+
+@pytest.fixture(scope="module")
+def gen():
+    from neko_tpu.config import ModelConfig
+    from neko_tpu.models.policy import NekoModel
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+
+    cfg = ModelConfig(
+        embed_dim=32, layers=2, heads=2, dropout=0.0, context_len=96,
+        max_patches=0, dtype="float32", attention_impl="xla",
+        text_tokens=128, continuous_tokens=32, discrete_tokens=16,
+    )
+    model = NekoModel(cfg)
+    packer = SequencePacker(cfg)
+    arrays = packer.pack_batch([{"text": [1, 2, 3]}])
+    arrays.pop("lengths")
+    params = model.init(
+        {"params": jax.random.key(0)}, to_device_batch(arrays)
+    )["params"]
+    return Generator(model, params, packer, seed=5)
+
+
+PROMPTS = [
+    [5, 9, 2, 77, 3],                          # arbitrary
+    [7, 8, 7, 8, 7, 8, 7, 8],                  # periodic (lookup-friendly)
+    [42],                                      # minimal
+    [3, 3, 3, 3, 3, 3],                        # constant
+]
+
+
+@pytest.mark.parametrize("prompt", PROMPTS)
+@pytest.mark.parametrize("k", [1, 4])
+def test_spec_decode_is_lossless(gen, prompt, k):
+    ts = gen.cfg.token_space
+    start, end = ts.start("text"), ts.end("text")
+    greedy, _ = gen.generate_batch(
+        [{"text": prompt}], max_new_tokens=12, start=start, end=end
+    )
+    spec, rounds = gen.generate_spec(
+        {"text": prompt}, max_new_tokens=12, start=start, end=end,
+        speculate_k=k,
+    )
+    np.testing.assert_array_equal(spec, greedy[0])
+    assert 1 <= rounds <= 12
+
+
+def test_spec_decode_accepts_on_repetitive_output(gen):
+    """A greedy continuation that repeats (tiny random models loop quickly)
+    must be produced in FEWER rounds than tokens once the loop is in the
+    history — the whole point of speculation."""
+    ts = gen.cfg.token_space
+    start, end = ts.start("text"), ts.end("text")
+    # find a prompt whose greedy continuation enters a cycle
+    for seed_tok in range(1, 30):
+        greedy, _ = gen.generate_batch(
+            [{"text": [seed_tok]}], max_new_tokens=24, start=start, end=end
+        )
+        tail = (greedy[0] - ts.start("text"))[8:]
+        if len(set(tail.tolist())) <= 4:  # cycled
+            spec, rounds = gen.generate_spec(
+                {"text": [seed_tok]}, max_new_tokens=24, start=start,
+                end=end, speculate_k=4,
+            )
+            np.testing.assert_array_equal(spec, greedy[0])
+            assert rounds < 24, (
+                f"no acceptance on a cyclic continuation (rounds={rounds})"
+            )
+            return
+    pytest.skip("no cyclic greedy continuation found for this init")
+
+
+def test_spec_decode_composes_with_int8_cache(gen):
+    import dataclasses
+
+    from neko_tpu.models.policy import NekoModel
+
+    cfg8 = dataclasses.replace(gen.cfg, kv_cache_dtype="int8")
+    g8 = Generator(NekoModel(cfg8), gen.params, gen.packer)
+    ts = cfg8.token_space
+    start, end = ts.start("text"), ts.end("text")
+    greedy, _ = g8.generate_batch(
+        [{"text": [7, 8, 7, 8]}], max_new_tokens=10, start=start, end=end
+    )
+    spec, _ = g8.generate_spec(
+        {"text": [7, 8, 7, 8]}, max_new_tokens=10, start=start, end=end
+    )
+    np.testing.assert_array_equal(spec, greedy[0])
+
+
+def test_spec_decode_rejects_images(gen):
+    ts = gen.cfg.token_space
+    with pytest.raises(AssertionError):
+        gen.generate_spec(
+            {"images": np.zeros((1, 16, 16, 3), np.float32)},
+            max_new_tokens=4, start=ts.start("text"), end=ts.end("text"),
+        )
