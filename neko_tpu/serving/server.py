@@ -257,6 +257,26 @@ class NekoServer:
                         f"context ({L} + {want} > {S})"
                     )
                 key = key + (want,)
+            if payload.get("speculative"):
+                # lossless speculative greedy decoding (generate_spec):
+                # deterministic text-only requests, served one at a time
+                if not payload.get("deterministic", True):
+                    raise ValueError("speculative requires deterministic")
+                if num_beams > 1:
+                    raise ValueError("speculative excludes num_beams")
+                if "text" not in payload:
+                    raise ValueError("speculative needs a text prompt")
+                pe = _example_from_payload(payload)
+                L = len(self.gen.packer.pack_example(pe).tokens)
+                spec_k = _opt(payload, "speculate_k", 4, int)
+                if not 1 <= spec_k <= 16:
+                    raise ValueError("speculate_k must be in [1, 16]")
+                if L + want + spec_k + 1 > self.gen.cfg.context_len:
+                    raise ValueError(
+                        "speculative decode needs prompt + max_new_tokens "
+                        "+ speculate_k + 1 <= context"
+                    )
+                key = ("spec", want, spec_k, object())  # unique: no groups
         else:
             action_kind = str(payload["action_kind"])
             if action_kind not in ("continuous", "discrete"):
@@ -316,6 +336,8 @@ class NekoServer:
                 try:
                     if key[0] == "generate":
                         self._serve_generate(key, rs)
+                    elif key[0] == "spec":
+                        self._serve_spec(key, rs)
                     else:
                         self._serve_action(key, rs)
                 except Exception as e:  # noqa: BLE001 — payloads were
@@ -362,6 +384,22 @@ class NekoServer:
                 "tokens": _truncate_at_stop(ids, r.payload.get("stop")),
                 "batched_with": len(rs) - 1,
             }
+
+    def _serve_spec(self, key, rs: List[_Pending]) -> None:
+        _, want, spec_k, _ = key
+        ts = self.gen.cfg.token_space
+        start, end = ts.start("text"), ts.end("text")
+        (r,) = rs  # unique key: one request per group
+        tokens, rounds = self.gen.generate_spec(
+            _example_from_payload(r.payload),
+            max_new_tokens=want, start=start, end=end, speculate_k=spec_k,
+        )
+        ids = (tokens - start).tolist()
+        r.result = {
+            "tokens": _truncate_at_stop(ids, r.payload.get("stop")),
+            "rounds": int(rounds),
+            "batched_with": 0,
+        }
 
     def _serve_action(self, key, rs: List[_Pending]) -> None:
         _, action_kind, action_tokens, num_actions, det = key

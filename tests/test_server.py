@@ -192,6 +192,25 @@ def test_bad_requests(server):
     assert code == 400 and "num_actions" in body["error"]
 
 
+def test_speculative_generate_matches_plain(server, gen):
+    """'speculative': true returns bit-identical tokens (lossless) plus the
+    round count."""
+    code, plain = _post(server, "/v1/generate",
+                        {"text": [7, 8, 7, 8], "max_new_tokens": 8})
+    assert code == 200
+    code, spec = _post(server, "/v1/generate",
+                       {"text": [7, 8, 7, 8], "max_new_tokens": 8,
+                        "speculative": True})
+    assert code == 200
+    assert spec["tokens"] == plain["tokens"]
+    assert 1 <= spec["rounds"] <= 8
+    # sampled + speculative is rejected (speculation is greedy-exact)
+    code, body = _post(server, "/v1/generate",
+                       {"text": [1], "speculative": True,
+                        "deterministic": False})
+    assert code == 400
+
+
 def test_stop_tokens_truncate(server, gen):
     """`stop` ids cut the response at the first hit (host post-processing —
     not part of the coalescing key)."""
