@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""Measure speculative decoding vs plain greedy decode on the real chip.
+
+    python tools/bench_spec.py [--config medium] [--kv_quant] [--k 4]
+
+Reports median wall tokens/sec and tokens/round for generate_spec against
+the plain one-token-per-step decode, on two prompt classes:
+
+  * `cyclic`: the greedy continuation repeats — acceptance near K (the
+    speedup upper bound for this chip/config)
+  * `random`: arbitrary prompt on a random-init model — acceptance is
+    incidental (the overhead floor: one K+1-token extend per round)
+
+Spec decode is LOSSLESS (tests/test_spec_decode.py), so the comparison is
+purely about device rounds: the decode step is bandwidth-bound on the KV
+cache streams (PROFILE.md), and a round streams the cache once for 1+K
+verified candidates.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="flagship",
+                   choices=["flagship", "medium"])
+    p.add_argument("--kv_quant", action="store_true")
+    p.add_argument("--k", type=int, default=4)
+    p.add_argument("--gen", type=int, default=128)
+    p.add_argument("--prompt_len", type=int, default=512)
+    p.add_argument("--reps", type=int, default=11)
+    cli = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+    from neko_tpu.config import ModelConfig
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.inference.generator import Generator
+    from neko_tpu.models.policy import NekoModel
+
+    arch = (dict(embed_dim=1536, layers=12, heads=12)
+            if cli.config == "medium"
+            else dict(embed_dim=768, layers=6, heads=24))
+    cfg = ModelConfig(
+        dropout=0.0, context_len=1024, max_patches=0, dtype="bfloat16",
+        kv_cache_dtype="int8" if cli.kv_quant else "native", **arch,
+    )
+    model = NekoModel(cfg)
+    packer = SequencePacker(cfg)
+    rng = np.random.RandomState(0)
+    init = packer.pack_batch(
+        [{"text": list(rng.randint(1, cfg.text_tokens, size=8))}]
+    )
+    init.pop("lengths")
+    params = model.init(
+        {"params": jax.random.key(0)}, to_device_batch(init)
+    )["params"]
+    gen = Generator(model, params, packer)
+    ts = cfg.token_space
+    start, end = ts.start("text"), ts.end("text")
+
+    prompts = {
+        "cyclic": {"text": [5, 9] * (cli.prompt_len // 2)},
+        "random": {"text": list(
+            rng.randint(1, cfg.text_tokens, size=cli.prompt_len)
+        )},
+    }
+
+    out = {"config": cli.config, "k": cli.k, "gen": cli.gen,
+           "kv_cache": cfg.kv_cache_dtype}
+    for name, prompt in prompts.items():
+        # plain greedy decode (the scan streams the cache once per token)
+        (plain,) = gen.generate_batch(
+            [prompt], max_new_tokens=cli.gen, start=start, end=end,
+            return_logits=False,
+        )  # compile
+        times = []
+        for _ in range(cli.reps):
+            t0 = time.perf_counter()
+            toks, = gen.generate_batch(
+                [prompt], max_new_tokens=cli.gen, start=start, end=end,
+                return_logits=False,
+            )
+            np.asarray(toks)  # host sync
+            times.append(time.perf_counter() - t0)
+        plain_s = float(np.median(times))
+
+        spec, rounds = gen.generate_spec(
+            prompt, max_new_tokens=cli.gen, start=start, end=end,
+            speculate_k=cli.k,
+        )  # compile
+        assert list(spec) == list(np.asarray(plain)[0]), "lossless violated"
+        times = []
+        for _ in range(cli.reps):
+            t0 = time.perf_counter()
+            spec, rounds = gen.generate_spec(
+                prompt, max_new_tokens=cli.gen, start=start, end=end,
+                speculate_k=cli.k,
+            )
+            times.append(time.perf_counter() - t0)
+        spec_s = float(np.median(times))
+
+        out[name] = {
+            "plain_tokens_per_sec": round(cli.gen / plain_s, 1),
+            "spec_tokens_per_sec": round(cli.gen / spec_s, 1),
+            "speedup": round(plain_s / spec_s, 3),
+            "tokens_per_round": round(cli.gen / rounds, 2),
+            "rounds": int(rounds),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
