@@ -564,104 +564,124 @@ class Generator:
         the speedup on a bandwidth-bound decode).
 
         Text-prompt examples only (the lookup needs a token history).
-        Returns (token_ids [max_new_tokens], rounds_used).
+        Pass one example dict -> (token_ids [max_new_tokens], rounds), or a
+        SEQUENCE of dicts -> (token_ids [N, max_new_tokens], rounds): rows
+        decode in lockstep rounds with per-row positions and per-row
+        acceptance (a finished row parks, re-verifying its last chunk, until
+        the slowest row completes — `rounds` counts device calls for all).
         """
-        assert "images" not in example, "spec decode needs a token history"
+        single = isinstance(example, dict)
+        examples = [example] if single else list(example)
+        assert all("images" not in ex for ex in examples), (
+            "spec decode needs a token history"
+        )
         S = self.cfg.context_len
         K = int(speculate_k)
         assert K >= 1 and lookup_ngram >= 1
-        arrays = self.packer.pack_batch([example], pad_side="right")
-        L = int(arrays.pop("lengths")[0])
-        assert L + max_new_tokens + K + 1 <= S, (
+        N = len(examples)
+        arrays = self.packer.pack_batch(examples, pad_side="right")
+        lengths = arrays.pop("lengths")
+        assert int(lengths.max()) + max_new_tokens + K + 1 <= S, (
             "spec decode does not support context overflow"
         )
         batch = to_device_batch(arrays)
         emb = self._embed_batch(self.params, batch)
-        mask = np.zeros((1, S), bool)
-        mask[0, :L] = True
+        mask = np.zeros((N, S), bool)
+        for i, L in enumerate(lengths):
+            mask[i, :L] = True
         logits, cache = self._prefill(self.params, emb, jnp.asarray(mask))
-        hist = np.zeros(S + K + 1, np.int32)
-        hist[:L] = np.asarray(arrays["tokens"][0][:L])
+        hist = np.zeros((N, S + K + 1), np.int32)
+        for i, L in enumerate(lengths):
+            hist[i, :L] = np.asarray(arrays["tokens"][i][:L])
+        pos = jnp.asarray(lengths, jnp.int32)
+        last = logits[jnp.arange(N), pos - 1]
         toks, rounds = self._spec_decode(
-            self.params, cache, logits[0, L - 1], jnp.asarray(hist),
-            jnp.int32(L),
+            self.params, cache, last, jnp.asarray(hist), pos,
             n_steps=max_new_tokens, start=start, end=end, K=K,
             ngram=int(lookup_ngram),
         )
-        return np.asarray(toks, np.int64), int(rounds)
+        toks = np.asarray(toks, np.int64)
+        return (toks[0], int(rounds)) if single else (toks, int(rounds))
 
     def _spec_decode_impl(
         self, params, cache, last_logits, hist, pos,
         *, n_steps, start, end, K, ngram,
     ):
-        """Device loop: one extend_step verifies a0 + K proposals per round.
+        """Device loop: one extend_step verifies a0 + K proposals per round,
+        batched over rows with per-row positions and acceptance.
 
         Cache discipline: round r writes chunk k/v at [pos, pos+K]; only the
         accepted prefix is valid, but the NEXT round's extend_step clears
         [pos', pos'+K] (pos' = pos + accepted + 1 <= pos+K+1) before anything
         later attends it, so stale entries are never visible — the same
         eviction argument as the rollout cache (models/transformer.py
-        'extend' branch)."""
+        'extend' branch).  Finished rows PARK: pos/emitted stop advancing
+        and they keep re-verifying their final chunk in place."""
         S = self.cfg.context_len
-        Hlen = hist.shape[0]
-        out = jnp.zeros(n_steps + K + 1, jnp.int32)
+        N, Hlen = hist.shape
+        rows = jnp.arange(N)
+        out = jnp.zeros((N, n_steps + K + 1), jnp.int32)
+        kcol = jnp.arange(K + 1)[None, :]                    # [1, K+1]
 
         def lookup(hist, pos):
-            # most recent i with hist[i:i+ngram] == hist[pos-ngram:pos]
-            idx = jnp.arange(Hlen)
-            ok = idx < pos - ngram  # candidate start strictly before suffix
-            match = jnp.ones(Hlen, bool)
+            # per row: most recent i with hist[i:i+ngram] == the suffix
+            idx = jnp.arange(Hlen)[None, :]                  # [1, Hlen]
+            ok = idx < (pos - ngram)[:, None]
+            match = jnp.ones((N, Hlen), bool)
             for j in range(ngram):
-                tail = hist[jnp.clip(pos - ngram + j, 0, Hlen - 1)]
-                match = match & (jnp.roll(hist, -j) == tail)
-            i_star = jnp.max(jnp.where(ok & match, idx, -1))
-            # proposals: the ngram's historical continuation (or repeat the
-            # last token when no match — acceptance then decides)
+                tail = hist[rows, jnp.clip(pos - ngram + j, 0, Hlen - 1)]
+                match = match & (
+                    jnp.roll(hist, -j, axis=1) == tail[:, None]
+                )
+            i_star = jnp.max(jnp.where(ok & match, idx, -1), axis=1)  # [N]
             base = jnp.where(i_star >= 0, i_star + ngram, pos - 1)
-            return jax.lax.dynamic_slice(hist, (jnp.clip(base, 0, Hlen - K),),
-                                         (K,))
+            cols = jnp.clip(base, 0, Hlen - K)[:, None] + jnp.arange(K)
+            return hist[rows[:, None], cols]                 # [N, K]
 
         def cond(carry):
-            return carry[0] < n_steps
+            return jnp.any(carry[0] < n_steps)
 
         def body(carry):
             emitted, cache, last_logits, hist, pos, out, rounds = carry
+            done = emitted >= n_steps
             a0 = (
-                jnp.argmax(last_logits[start : end + 1]) + start
-            ).astype(jnp.int32)
-            hist = jax.lax.dynamic_update_slice(hist, a0[None], (pos,))
-            props = lookup(hist, pos + 1)                   # [K]
-            chunk = jnp.concatenate([a0[None], props])      # [K+1]
+                jnp.argmax(last_logits[:, start : end + 1], axis=-1) + start
+            ).astype(jnp.int32)                              # [N]
+            hist = hist.at[rows, pos].set(a0)
+            props = lookup(hist, pos + 1)                    # [N, K]
+            chunk = jnp.concatenate([a0[:, None], props], axis=1)  # [N, K+1]
             emb = self.model.apply(
-                {"params": params}, chunk[None], method=NekoModel.embed_tokens
+                {"params": params}, chunk, method=NekoModel.embed_tokens
             )
             logits, vars_ = self.model.apply(
                 {"params": params, "cache": cache},
-                emb, pos[None], pos[None], K + 1, S,
+                emb, pos, pos, K + 1, S,
                 method=NekoModel.extend_step, mutable=["cache"],
             )
             cache = vars_["cache"]
-            win = logits[0, :, start : end + 1]             # [K+1, W]
+            win = logits[:, :, start : end + 1]              # [N, K+1, W]
             greedy = (jnp.argmax(win, axis=-1) + start).astype(jnp.int32)
-            # accept proposals while each matches the true greedy successor
-            ok = props == greedy[:K]
+            ok = props == greedy[:, :K]
             m = jnp.argmin(jnp.concatenate(
-                [ok.astype(jnp.int32), jnp.zeros(1, jnp.int32)]
-            ))  # length of the accepted prefix
-            # emit [a0, accepted proposals...]; next round's a0 = greedy[m]
-            out = jax.lax.dynamic_update_slice(out, chunk, (emitted,))
-            hist = jax.lax.dynamic_update_slice(hist, chunk, (pos,))
+                [ok.astype(jnp.int32), jnp.zeros((N, 1), jnp.int32)], axis=1
+            ), axis=1)                                       # [N]
+            # scatter each row's chunk at its own output offset (clamped so
+            # parked rows rewrite the scratch tail, never the real prefix)
+            off = jnp.minimum(emitted, n_steps)[:, None] + kcol
+            out = out.at[rows[:, None], off].set(chunk)
+            hist = hist.at[rows[:, None], pos[:, None] + kcol].set(chunk)
+            adv = jnp.where(done, 0, m + 1)
             return (
-                emitted + m + 1, cache, logits[0, m], hist,
-                pos + m + 1, out, rounds + 1,
+                emitted + adv, cache, logits[rows, m], hist,
+                pos + adv, out, rounds + 1,
             )
 
-        init = (jnp.int32(0), cache, last_logits, hist, pos, out,
+        init = (jnp.zeros(N, jnp.int32), cache, last_logits, hist, pos, out,
                 jnp.int32(0))
         emitted, _, _, _, _, out, rounds = jax.lax.while_loop(
             cond, body, init
         )
-        return out[:n_steps], rounds
+        return out[:, :n_steps], rounds
 
     def _beam_scan_impl(
         self, params, cache, last_logits, pos, next_pos,

@@ -276,7 +276,7 @@ class NekoServer:
                         "speculative decode needs prompt + max_new_tokens "
                         "+ speculate_k + 1 <= context"
                     )
-                key = ("spec", want, spec_k, object())  # unique: no groups
+                key = ("spec", want, spec_k)  # batched generate_spec groups
         else:
             action_kind = str(payload["action_kind"])
             if action_kind not in ("continuous", "discrete"):
@@ -386,20 +386,20 @@ class NekoServer:
             }
 
     def _serve_spec(self, key, rs: List[_Pending]) -> None:
-        _, want, spec_k, _ = key
+        _, want, spec_k = key
         ts = self.gen.cfg.token_space
         start, end = ts.start("text"), ts.end("text")
-        (r,) = rs  # unique key: one request per group
         tokens, rounds = self.gen.generate_spec(
-            _example_from_payload(r.payload),
+            [_example_from_payload(r.payload) for r in rs],
             max_new_tokens=want, start=start, end=end, speculate_k=spec_k,
         )
-        ids = (tokens - start).tolist()
-        r.result = {
-            "tokens": _truncate_at_stop(ids, r.payload.get("stop")),
-            "rounds": int(rounds),
-            "batched_with": 0,
-        }
+        for i, r in enumerate(rs):
+            ids = (tokens[i] - start).tolist()
+            r.result = {
+                "tokens": _truncate_at_stop(ids, r.payload.get("stop")),
+                "rounds": int(rounds),
+                "batched_with": len(rs) - 1,
+            }
 
     def _serve_action(self, key, rs: List[_Pending]) -> None:
         _, action_kind, action_tokens, num_actions, det = key

@@ -84,6 +84,25 @@ def test_spec_decode_accepts_on_repetitive_output(gen):
     pytest.skip("no cyclic greedy continuation found for this init")
 
 
+def test_spec_decode_batched_matches_singles(gen):
+    """Batched rows decode in lockstep rounds with per-row acceptance;
+    results equal each prompt's single-row spec decode (== greedy)."""
+    ts = gen.cfg.token_space
+    start, end = ts.start("text"), ts.end("text")
+    prompts = [PROMPTS[0], PROMPTS[1], PROMPTS[3]]
+    batch_toks, rounds = gen.generate_spec(
+        [{"text": p} for p in prompts],
+        max_new_tokens=10, start=start, end=end, speculate_k=3,
+    )
+    assert batch_toks.shape == (3, 10)
+    greedy, _ = gen.generate_batch(
+        [{"text": p} for p in prompts], max_new_tokens=10,
+        start=start, end=end,
+    )
+    np.testing.assert_array_equal(batch_toks, greedy)
+    assert 1 <= rounds <= 10
+
+
 def test_spec_decode_composes_with_int8_cache(gen):
     import dataclasses
 
