@@ -182,7 +182,9 @@ class Generator:
         )
         self._spec_decode = jit(
             self._spec_decode_impl,
-            static_argnames=("n_steps", "start", "end", "K", "ngram"),
+            static_argnames=(
+                "n_steps", "start", "end", "K", "ngram", "deterministic",
+            ) + _samp,
         )
 
     def _jit(self, fn, **kw):
@@ -546,8 +548,13 @@ class Generator:
         end: int,
         speculate_k: int = 4,
         lookup_ngram: int = 2,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
     ) -> Tuple[np.ndarray, int]:
-        """LOSSLESS speculative greedy decoding via prompt-lookup proposals.
+        """LOSSLESS speculative decoding via prompt-lookup proposals.
 
         The serving decode step is bandwidth-bound on the KV-cache streams
         (PROFILE.md: the [B·H x (1,S)x(S,hd)] matvec caps at the per-stream
@@ -557,11 +564,19 @@ class Generator:
         (extend_step), which streams the cache ONCE for the whole chunk.
         Proposals come from prompt-lookup (the most recent prior occurrence
         of the trailing `lookup_ngram` suggests the continuation — no draft
-        model, Saxena 2023 'prompt lookup decoding'); every emitted token is
-        verified equal to what greedy decoding would produce, so the output
-        is BIT-IDENTICAL to generate() deterministic — only the number of
-        device rounds changes (`rounds` in the return; tokens/round > 1 is
-        the speedup on a bandwidth-bound decode).
+        model, Saxena 2023 'prompt lookup decoding').
+
+        deterministic=True: every emitted token is verified equal to what
+        greedy decoding would produce — output BIT-IDENTICAL to generate().
+        deterministic=False: the point-mass rejection rule (Leviathan et
+        al.) — accept proposal t with probability P(t) under the (warped)
+        target distribution, on rejection sample from P with t masked out,
+        renormalized — which preserves the target distribution EXACTLY
+        (tests pin the marginals against plain sampling).  The sampling
+        knobs (temperature/top_k/top_p) warp P before acceptance, like
+        every other stochastic path.  Either way only the number of device
+        rounds changes (`rounds`; tokens/round > 1 is the speedup on a
+        bandwidth-bound decode).
 
         Text-prompt examples only (the lookup needs a token history).
         Pass one example dict -> (token_ids [max_new_tokens], rounds), or a
@@ -595,17 +610,25 @@ class Generator:
             hist[i, :L] = np.asarray(arrays["tokens"][i][:L])
         pos = jnp.asarray(lengths, jnp.int32)
         last = logits[jnp.arange(N), pos - 1]
+        temperature, top_k, top_p = _resolve_sampling(
+            self._default_sampling, temperature, top_k, top_p
+        )
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
         toks, rounds = self._spec_decode(
-            self.params, cache, last, jnp.asarray(hist), pos,
+            self.params, cache, last, jnp.asarray(hist), pos, rng,
             n_steps=max_new_tokens, start=start, end=end, K=K,
-            ngram=int(lookup_ngram),
+            ngram=int(lookup_ngram), deterministic=deterministic,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            use_top_p=top_p < 1.0,
         )
         toks = np.asarray(toks, np.int64)
         return (toks[0], int(rounds)) if single else (toks, int(rounds))
 
     def _spec_decode_impl(
-        self, params, cache, last_logits, hist, pos,
-        *, n_steps, start, end, K, ngram,
+        self, params, cache, last_logits, hist, pos, key,
+        *, n_steps, start, end, K, ngram, deterministic,
+        temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
     ):
         """Device loop: one extend_step verifies a0 + K proposals per round,
         batched over rows with per-row positions and acceptance.
@@ -638,15 +661,37 @@ class Generator:
             cols = jnp.clip(base, 0, Hlen - K)[:, None] + jnp.arange(K)
             return hist[rows[:, None], cols]                 # [N, K]
 
+        W = end - start + 1
+
+        def warp(w):
+            return apply_logit_filters(
+                w, temperature=temperature, top_k=top_k, top_p=top_p,
+                use_top_p=use_top_p,
+            )
+
         def cond(carry):
             return jnp.any(carry[0] < n_steps)
 
         def body(carry):
-            emitted, cache, last_logits, hist, pos, out, rounds = carry
+            (emitted, cache, last_logits, hist, pos, out, rounds, key,
+             reject) = carry
             done = emitted >= n_steps
-            a0 = (
-                jnp.argmax(last_logits[:, start : end + 1], axis=-1) + start
-            ).astype(jnp.int32)                              # [N]
+            win0 = last_logits[:, start : end + 1]
+            if deterministic:
+                a0w = jnp.argmax(win0, axis=-1)
+            else:
+                # residual rule: the prior round's rejected proposal is
+                # masked out of the (warped) target, renormalized by the
+                # categorical itself
+                w0 = warp(win0)
+                has = reject >= 0
+                oh = jax.nn.one_hot(
+                    jnp.clip(reject, 0, W - 1), W, dtype=bool
+                )
+                w0 = jnp.where(has[:, None] & oh, -jnp.inf, w0)
+                key, k0 = jax.random.split(key)
+                a0w = jax.random.categorical(k0, w0, axis=-1)
+            a0 = (a0w + start).astype(jnp.int32)             # [N]
             hist = hist.at[rows, pos].set(a0)
             props = lookup(hist, pos + 1)                    # [N, K]
             chunk = jnp.concatenate([a0[:, None], props], axis=1)  # [N, K+1]
@@ -660,11 +705,37 @@ class Generator:
             )
             cache = vars_["cache"]
             win = logits[:, :, start : end + 1]              # [N, K+1, W]
-            greedy = (jnp.argmax(win, axis=-1) + start).astype(jnp.int32)
-            ok = props == greedy[:, :K]
+            if deterministic:
+                greedy = (
+                    jnp.argmax(win, axis=-1) + start
+                ).astype(jnp.int32)
+                ok = props == greedy[:, :K]
+            else:
+                # accept proposal t with prob P(t) under the warped target
+                # (point-mass draft => this preserves P exactly); proposals
+                # outside the restricted window have P(t) = 0 by definition
+                P = jax.nn.softmax(warp(win[:, :K]), axis=-1)  # [N, K, W]
+                in_win = (props >= start) & (props <= end)
+                pt = jnp.where(
+                    in_win,
+                    P[
+                        rows[:, None], jnp.arange(K)[None, :],
+                        jnp.clip(props - start, 0, W - 1),
+                    ],
+                    0.0,
+                )
+                key, ku = jax.random.split(key)
+                u = jax.random.uniform(ku, (N, K))
+                ok = u < pt
             m = jnp.argmin(jnp.concatenate(
                 [ok.astype(jnp.int32), jnp.zeros((N, 1), jnp.int32)], axis=1
             ), axis=1)                                       # [N]
+            # residual mask applies only to an IN-window rejected proposal:
+            # a point mass outside P's support leaves (P - Q)+ = P unchanged
+            rj = props[rows, jnp.clip(m, 0, K - 1)]
+            reject = jnp.where(
+                (m < K) & (rj >= start) & (rj <= end), rj - start, -1
+            ).astype(jnp.int32)
             # scatter each row's chunk at its own output offset (clamped so
             # parked rows rewrite the scratch tail, never the real prefix)
             off = jnp.minimum(emitted, n_steps)[:, None] + kcol
@@ -673,15 +744,13 @@ class Generator:
             adv = jnp.where(done, 0, m + 1)
             return (
                 emitted + adv, cache, logits[rows, m], hist,
-                pos + adv, out, rounds + 1,
+                pos + adv, out, rounds + 1, key, reject,
             )
 
         init = (jnp.zeros(N, jnp.int32), cache, last_logits, hist, pos, out,
-                jnp.int32(0))
-        emitted, _, _, _, _, out, rounds = jax.lax.while_loop(
-            cond, body, init
-        )
-        return out[:, :n_steps], rounds
+                jnp.int32(0), key, jnp.full(N, -1, jnp.int32))
+        carry = jax.lax.while_loop(cond, body, init)
+        return carry[5][:, :n_steps], carry[6]
 
     def _beam_scan_impl(
         self, params, cache, last_logits, pos, next_pos,

@@ -258,10 +258,9 @@ class NekoServer:
                     )
                 key = key + (want,)
             if payload.get("speculative"):
-                # lossless speculative greedy decoding (generate_spec):
-                # deterministic text-only requests, served one at a time
-                if not payload.get("deterministic", True):
-                    raise ValueError("speculative requires deterministic")
+                # lossless speculative decoding (generate_spec): greedy is
+                # bit-exact, sampled uses the distribution-preserving
+                # rejection rule — both valid to serve
                 if num_beams > 1:
                     raise ValueError("speculative excludes num_beams")
                 if "text" not in payload:
@@ -276,7 +275,10 @@ class NekoServer:
                         "speculative decode needs prompt + max_new_tokens "
                         "+ speculate_k + 1 <= context"
                     )
-                key = ("spec", want, spec_k)  # batched generate_spec groups
+                # batched generate_spec coalesces same-knob requests
+                key = ("spec", want, spec_k,
+                       bool(payload.get("deterministic", True)),
+                       temperature, top_k, top_p)
         else:
             action_kind = str(payload["action_kind"])
             if action_kind not in ("continuous", "discrete"):
@@ -386,12 +388,13 @@ class NekoServer:
             }
 
     def _serve_spec(self, key, rs: List[_Pending]) -> None:
-        _, want, spec_k = key
+        _, want, spec_k, det, temp, top_k, top_p = key
         ts = self.gen.cfg.token_space
         start, end = ts.start("text"), ts.end("text")
         tokens, rounds = self.gen.generate_spec(
             [_example_from_payload(r.payload) for r in rs],
             max_new_tokens=want, start=start, end=end, speculate_k=spec_k,
+            deterministic=det, temperature=temp, top_k=top_k, top_p=top_p,
         )
         for i, r in enumerate(rs):
             ids = (tokens[i] - start).tolist()

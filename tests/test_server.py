@@ -204,10 +204,14 @@ def test_speculative_generate_matches_plain(server, gen):
     assert code == 200
     assert spec["tokens"] == plain["tokens"]
     assert 1 <= spec["rounds"] <= 8
-    # sampled + speculative is rejected (speculation is greedy-exact)
+    # sampled + speculative is served too (distribution-preserving rule)
     code, body = _post(server, "/v1/generate",
                        {"text": [1], "speculative": True,
-                        "deterministic": False})
+                        "deterministic": False, "temperature": 0.8})
+    assert code == 200 and len(body["tokens"]) == 16
+    # beams + speculative stays rejected
+    code, body = _post(server, "/v1/generate",
+                       {"text": [1], "speculative": True, "num_beams": 2})
     assert code == 400
 
 
