@@ -111,6 +111,14 @@ def main():
     )
     print(f"predict_text (T=0.8, top_k=50, top_p=0.95) -> {list(toks_s)}")
 
+    # lossless speculative decoding: identical tokens, fewer device rounds
+    # (the per-token KV-stream cost is paid once per 1+K verified tokens)
+    toks_spec, rounds = gen.generate_spec(
+        {"text": prompt}, max_new_tokens=8,
+        start=ts.start("text"), end=ts.end("text"), speculate_k=4,
+    )
+    print(f"generate_spec -> {toks_spec.tolist()} in {rounds} rounds")
+
     # ---- 4. live env rollout ----------------------------------------------
     from neko_tpu.envs.setup_env import load_env_dataset
     from neko_tpu.tasks.control import ControlTask

@@ -184,6 +184,32 @@ def test_spec_sampled_respects_top_k(gen):
         assert (t - start) in order[:3]
 
 
+def test_spec_decode_lossless_fuzz(gen):
+    """Hypothesis fuzz of THE invariant over random prompts/K/ngram."""
+    from hypothesis import given, settings, strategies as st
+
+    ts = gen.cfg.token_space
+    start, end = ts.start("text"), ts.end("text")
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(0, ts.text_tokens - 1), min_size=1, max_size=24),
+        st.integers(1, 5),
+        st.integers(1, 3),
+    )
+    def check(prompt, k, ngram):
+        greedy, _ = gen.generate_batch(
+            [{"text": prompt}], max_new_tokens=9, start=start, end=end
+        )
+        spec, _ = gen.generate_spec(
+            {"text": prompt}, max_new_tokens=9, start=start, end=end,
+            speculate_k=k, lookup_ngram=ngram,
+        )
+        np.testing.assert_array_equal(spec, greedy[0])
+
+    check()
+
+
 def test_spec_decode_rejects_images(gen):
     ts = gen.cfg.token_space
     with pytest.raises(AssertionError):
