@@ -96,6 +96,7 @@ def run(cli) -> dict:
         temperature=_or(getattr(cli, "temperature", None), 1.0),
         top_k=_or(getattr(cli, "sample_top_k", None), 0),
         top_p=_or(getattr(cli, "sample_top_p", None), 1.0),
+        weight_dtype=getattr(cli, "serve_weight_dtype", None),
     )
     deterministic = args.eval_mode == "deterministic"
 
@@ -181,6 +182,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--mesh_model_axis", type=int, default=None,
                    help="tensor-parallel serving degree: shard the model "
                         "over this many devices for evaluation")
+    p.add_argument("--serve_weight_dtype", type=str, default=None,
+                   choices=["bf16", "fp8"],
+                   help="fp8: evaluate with e4m3-quantized matmul kernels "
+                        "(inference/quant.py)")
     p.add_argument("--kv_cache_dtype", type=str, default=None,
                    choices=["native", "int8"],
                    help="KV-cache storage for decode: int8 halves the "

@@ -44,6 +44,7 @@ def build_generator(cli):
         temperature=1.0 if cli.temperature is None else cli.temperature,
         top_k=0 if cli.sample_top_k is None else cli.sample_top_k,
         top_p=1.0 if cli.sample_top_p is None else cli.sample_top_p,
+        weight_dtype=getattr(cli, "serve_weight_dtype", None),
     )
 
 
@@ -62,6 +63,10 @@ def main(argv: Optional[list] = None) -> None:
                    help="tensor-parallel serving degree")
     p.add_argument("--kv_cache_dtype", type=str, default=None,
                    choices=["native", "int8"])
+    p.add_argument("--serve_weight_dtype", type=str, default=None,
+                   choices=["bf16", "fp8"],
+                   help="fp8: serve the matmul kernels as e4m3 + "
+                        "per-channel scales (inference/quant.py)")
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--sample_top_k", type=int, default=None)
     p.add_argument("--sample_top_p", type=float, default=None)

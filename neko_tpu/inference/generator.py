@@ -114,10 +114,20 @@ class Generator:
         temperature: float = 1.0,
         top_k: int = 0,
         top_p: float = 1.0,
+        weight_dtype: Optional[str] = None,
     ):
         """`temperature`/`top_k`/`top_p`: default sampling knobs for every
         generation call on this instance (stochastic mode only; see
         apply_logit_filters).  Per-call arguments override them.
+
+        `weight_dtype`: None/'bf16' serves the plain activation-dtype cast;
+        'fp8' (alias 'fp8_e4m3') additionally stores the large matmul
+        kernels as float8_e4m3fn with per-output-channel scales and
+        dequantizes them at the point of use INSIDE the decode loop —
+        halving the weight bytes the bandwidth-bound decode step streams
+        (inference/quant.py has the full design rationale).  Dots stay in
+        the activation dtype; the KV cache is unaffected (compose with
+        `kv_cache_dtype='int8'` for quantized caches too).
 
         `mesh`: optional jax.sharding.Mesh for TENSOR-PARALLEL serving.
         Params are placed by the training pspecs (parallel/sharding.py —
@@ -131,6 +141,11 @@ class Generator:
         self.model = model
         self.cfg = model.cfg
         self._cast = cast_params
+        if weight_dtype not in (None, "bf16", "fp8", "fp8_e4m3"):
+            raise ValueError(
+                f"weight_dtype must be None/'bf16'/'fp8', got {weight_dtype!r}"
+            )
+        self._wq = weight_dtype in ("fp8", "fp8_e4m3")
         self.mesh = mesh
         _check_sampling_args(temperature, top_k, top_p)
         self._default_sampling = (temperature, top_k, top_p)
@@ -205,13 +220,32 @@ class Generator:
     def set_params(self, params) -> None:
         """Install (freshly trained) weights, applying the inference cast."""
         params = self._maybe_cast(params) if self._cast else params
+        if self._wq:
+            from neko_tpu.inference import quant
+
+            params = quant.quantize_weights(params)
         if self.mesh is not None:
             from neko_tpu.parallel import sharding as shd
 
-            params = jax.device_put(
-                params, shd.param_shardings(self.mesh, params)
-            )
+            if self._wq:
+                from neko_tpu.inference import quant
+
+                shardings = quant.quant_shardings(self.mesh, params)
+            else:
+                shardings = shd.param_shardings(self.mesh, params)
+            params = jax.device_put(params, shardings)
         self.params = params
+
+    def _dq(self, params):
+        """Dequantize fp8 weight leaves to the activation dtype at the point
+        of use.  MUST be called inside scan/while bodies (not hoisted to fn
+        entry) so the convert streams fp8 bytes per iteration — quant.py
+        explains the LICM trap.  Identity when fp8 serving is off."""
+        if not self._wq:
+            return params
+        from neko_tpu.inference import quant
+
+        return quant.dequantize(params, self.cfg.activation_dtype)
 
     def _maybe_cast(self, params):
         """Inference-only weight cast to the activation dtype.
@@ -236,31 +270,32 @@ class Generator:
     # ------------------------------------------------------------ jit impls
     def _embed_batch_impl(self, params, batch):
         return self.model.apply(
-            {"params": params}, batch, method=NekoModel.embed_batch
+            {"params": self._dq(params)}, batch, method=NekoModel.embed_batch
         )
 
     def _prefill_impl(self, params, emb, mask):
         logits, vars_ = self.model.apply(
-            {"params": params}, emb, mask, method=NekoModel.prefill,
-            mutable=["cache"],
+            {"params": self._dq(params)}, emb, mask,
+            method=NekoModel.prefill, mutable=["cache"],
         )
         return logits, vars_["cache"]
 
     def _decode_impl(self, params, cache, emb, index):
         logits, vars_ = self.model.apply(
-            {"params": params, "cache": cache}, emb, index,
+            {"params": self._dq(params), "cache": cache}, emb, index,
             method=NekoModel.decode_step, mutable=["cache"],
         )
         return logits, vars_["cache"]
 
     def _embed_tokens_impl(self, params, tokens):
         return self.model.apply(
-            {"params": params}, tokens, method=NekoModel.embed_tokens
+            {"params": self._dq(params)}, tokens,
+            method=NekoModel.embed_tokens,
         )
 
     def _embed_tokens_pos_impl(self, params, tokens, pos):
         return self.model.apply(
-            {"params": params}, tokens, pos,
+            {"params": self._dq(params)}, tokens, pos,
             method=NekoModel.embed_tokens_with_pos,
         )
 
@@ -675,6 +710,8 @@ class Generator:
         def body(carry):
             (emitted, cache, last_logits, hist, pos, out, rounds, key,
              reject) = carry
+            # fp8 serving: dequantize in-body (once per round; see _dq)
+            p = self._dq(params)
             done = emitted >= n_steps
             win0 = last_logits[:, start : end + 1]
             if deterministic:
@@ -696,10 +733,10 @@ class Generator:
             props = lookup(hist, pos + 1)                    # [N, K]
             chunk = jnp.concatenate([a0[:, None], props], axis=1)  # [N, K+1]
             emb = self.model.apply(
-                {"params": params}, chunk, method=NekoModel.embed_tokens
+                {"params": p}, chunk, method=NekoModel.embed_tokens
             )
             logits, vars_ = self.model.apply(
-                {"params": params, "cache": cache},
+                {"params": p, "cache": cache},
                 emb, pos, pos, K + 1, S,
                 method=NekoModel.extend_step, mutable=["cache"],
             )
@@ -780,6 +817,8 @@ class Generator:
 
         def body(carry, i):
             cache, last_logits, cum, pos, next_pos, tokbuf, logbuf = carry
+            # fp8 serving: dequantize in-body (once per step; see _dq)
+            p = self._dq(params)
             window = last_logits[:, start : end + 1]          # [NB, W]
             logp = jax.nn.log_softmax(window, axis=-1)
             total = (cum.reshape(NB, 1) + logp).reshape(N, B * W)
@@ -795,16 +834,16 @@ class Generator:
                 logbuf = logbuf[rowp].at[:, i].set(window[rowp])
             if with_pos:
                 emb = self.model.apply(
-                    {"params": params}, tok[:, None], next_pos[:, None],
+                    {"params": p}, tok[:, None], next_pos[:, None],
                     method=NekoModel.embed_tokens_with_pos,
                 )
             else:
                 emb = self.model.apply(
-                    {"params": params}, tok[:, None],
+                    {"params": p}, tok[:, None],
                     method=NekoModel.embed_tokens,
                 )
             logits, vars_ = self.model.apply(
-                {"params": params, "cache": cache}, emb, pos,
+                {"params": p, "cache": cache}, emb, pos,
                 method=NekoModel.decode_step, mutable=["cache"],
             )
             new_carry = (
@@ -847,6 +886,8 @@ class Generator:
 
         def body(carry, x):
             cache, last_logits, pos, next_pos, key = carry
+            # fp8 serving: dequantize in-body (once per token; see _dq)
+            p = self._dq(params)
             key, sub = jax.random.split(key)
             window = last_logits[:, start : end + 1]
             if deterministic:
@@ -867,17 +908,17 @@ class Generator:
                 ys.append(logz - tl)
             if with_pos:
                 emb = self.model.apply(
-                    {"params": params}, tok[:, None], next_pos[:, None],
+                    {"params": p}, tok[:, None], next_pos[:, None],
                     method=NekoModel.embed_tokens_with_pos,
                 )
             else:
                 emb = self.model.apply(
-                    {"params": params}, tok[:, None],
+                    {"params": p}, tok[:, None],
                     method=NekoModel.embed_tokens,
                 )
             write_pos = pos % self.cfg.context_len if ring else pos
             logits, vars_ = self.model.apply(
-                {"params": params, "cache": cache}, emb, write_pos,
+                {"params": p, "cache": cache}, emb, write_pos,
                 method=NekoModel.decode_step, mutable=["cache"],
             )
             new_carry = (
@@ -914,12 +955,15 @@ class Generator:
         Returns (action_token_ids [B, m], updated cache).  The decode scan
         writes every generated token's k/v — including the last — so the
         cache leaves this call holding the COMPLETE timestep slot."""
+        # fp8 serving: dequantized here for the extend; the decode scan
+        # below receives the still-quantized tree and dequantizes in-body
+        p = self._dq(params)
         emb_ts = self.model.apply(
-            {"params": params}, small_batch, method=NekoModel.embed_batch
+            {"params": p}, small_batch, method=NekoModel.embed_batch
         )  # [B, tpt, D]: [obs | sep | zero-action-slot]
         chunk = emb_ts[:, :obs_sep_tokens]
         logits, vars_ = self.model.apply(
-            {"params": params, "cache": cache},
+            {"params": p, "cache": cache},
             chunk, slot_start, slot_start, clear_len, buffer_len,
             method=NekoModel.extend_step, mutable=["cache"],
         )

@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Measure fp8(e4m3) weight serving on the real chip.
+
+    python tools/bench_fp8.py [--config medium] [--kv_quant] [--skip_micro]
+
+Two measurements:
+
+1. `convert-rate` microbench — effective HBM stream rate when a matvec's
+   weight operand is (a) plain bf16, (b) int8 dequantized into the dot,
+   (c) fp8-e4m3 dequantized into the dot.  PROFILE.md pinned the int8
+   convert path at ~110-130 GB/s of source bytes vs ~190 GB/s for plain
+   bf16 at the decode matvec shape; this answers whether the chip's fp8
+   convert streams faster (it has native e4m3 convert paths the int8
+   plane lacks).  Rates are in SOURCE GB/s — compare time-per-weight:
+   fp8 wins when rate_fp8 > rate_bf16 / 2.
+
+2. `decode e2e` — Generator tokens/sec at the serving config, plain bf16
+   weights vs `weight_dtype='fp8'` (dequant inside the scan body,
+   inference/quant.py), median of --reps runs (tunnel jitter swings a
+   3-run mean by >40%, CLAUDE.md).
+
+All device calls are jitted (un-jitted pallas/tunnel calls execute
+op-by-op, ~500x slower).  One script run covers every variant: compiles
+through the tunnel cost minutes per process.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _median_time(fn, reps):
+    fn()  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def micro(reps):
+    """Matvec weight-stream rates: bf16 vs int8->bf16 vs fp8->bf16.
+
+    Shape mimics the decode matvec: x[1, d] @ W[d, D] with D large enough
+    that the weight read dominates (64 MB bf16 = well past L2/VMEM)."""
+    import jax
+    import jax.numpy as jnp
+
+    d, D = 4096, 8192  # 32M params: 64MB bf16 / 32MB int8|fp8
+    key = jax.random.key(0)
+    w = jax.random.normal(key, (d, D), jnp.float32)
+    x = jax.random.normal(jax.random.key(1), (1, d), jnp.bfloat16)
+    wb = w.astype(jnp.bfloat16)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-30)
+    wi = jnp.round(w / scale[None, :]).astype(jnp.int8)
+    scale8 = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 448.0, 1e-30)
+    wf8 = jnp.clip(w / scale8[None, :], -448, 448).astype(jnp.float8_e4m3fn)
+    sb = scale.astype(jnp.bfloat16)
+    s8b = scale8.astype(jnp.bfloat16)
+
+    @jax.jit
+    def dot_bf16(x, w):
+        return (x @ w).sum()
+
+    @jax.jit
+    def dot_int8(x, w, s):
+        return ((x @ w.astype(jnp.bfloat16)) * s[None, :]).sum()
+
+    @jax.jit
+    def dot_fp8(x, w, s):
+        return ((x @ w.astype(jnp.bfloat16)) * s[None, :]).sum()
+
+    out = {}
+    for name, fn, src_bytes in [
+        ("bf16", lambda: float(dot_bf16(x, wb)), d * D * 2),
+        ("int8", lambda: float(dot_int8(x, wi, sb)), d * D),
+        ("fp8_e4m3", lambda: float(dot_fp8(x, wf8, s8b)), d * D),
+    ]:
+        t = _median_time(fn, reps)
+        out[name] = {
+            "ms": round(t * 1e3, 3),
+            "source_GBps": round(src_bytes / t / 1e9, 1),
+            "bf16_equiv_GBps": round(d * D * 2 / t / 1e9, 1),
+        }
+    return out
+
+
+def e2e(cli):
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+    from neko_tpu.config import ModelConfig
+    from neko_tpu.data.batch import to_device_batch
+    from neko_tpu.data.packing import SequencePacker
+    from neko_tpu.inference.generator import Generator
+    from neko_tpu.models.policy import NekoModel
+
+    arch = (dict(embed_dim=1536, layers=12, heads=12)
+            if cli.config == "medium"
+            else dict(embed_dim=768, layers=6, heads=24))
+    cfg = ModelConfig(
+        dropout=0.0, context_len=1024, max_patches=0, dtype="bfloat16",
+        kv_cache_dtype="int8" if cli.kv_quant else "native", **arch,
+    )
+    model = NekoModel(cfg)
+    packer = SequencePacker(cfg)
+    rng = np.random.RandomState(0)
+    init = packer.pack_batch(
+        [{"text": list(rng.randint(1, cfg.text_tokens, size=8))}]
+    )
+    init.pop("lengths")
+    params = model.init(
+        {"params": jax.random.key(0)}, to_device_batch(init)
+    )["params"]
+    ts = cfg.token_space
+    start, end = ts.start("text"), ts.end("text")
+    prompt = {"text": list(rng.randint(1, cfg.text_tokens,
+                                       size=cli.prompt_len))}
+
+    out = {}
+    ref_tokens = None
+    for name, wd in [("bf16", None), ("fp8", "fp8")]:
+        gen = Generator(model, params, packer, weight_dtype=wd)
+
+        def run():
+            (toks,) = gen.generate_batch(
+                [prompt], max_new_tokens=cli.gen, start=start, end=end,
+                return_logits=False,
+            )
+            return np.asarray(toks)
+
+        toks = run()  # compile + correctness capture
+        if ref_tokens is None:
+            ref_tokens = toks
+        agree = float((toks == ref_tokens).mean())
+        t = _median_time(run, cli.reps)
+        out[name] = {
+            "tokens_per_sec": round(cli.gen / t, 1),
+            "ms_per_token": round(t / cli.gen * 1e3, 3),
+            "greedy_agreement_vs_bf16": round(agree, 3),
+        }
+        del gen
+    out["speedup"] = round(
+        out["fp8"]["tokens_per_sec"] / out["bf16"]["tokens_per_sec"], 3
+    )
+    return out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="flagship",
+                   choices=["flagship", "medium"])
+    p.add_argument("--kv_quant", action="store_true")
+    p.add_argument("--gen", type=int, default=128)
+    p.add_argument("--prompt_len", type=int, default=512)
+    p.add_argument("--reps", type=int, default=11)
+    p.add_argument("--skip_micro", action="store_true")
+    p.add_argument("--skip_e2e", action="store_true")
+    cli = p.parse_args()
+
+    out = {"config": cli.config, "kv_cache":
+           "int8" if cli.kv_quant else "native"}
+    if not cli.skip_micro:
+        out["convert_rate"] = micro(cli.reps)
+    if not cli.skip_e2e:
+        out["decode_e2e"] = e2e(cli)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
