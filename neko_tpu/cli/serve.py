@@ -72,6 +72,12 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--sample_top_p", type=float, default=None)
     p.add_argument("--use_ema", action="store_true", default=False,
                    help="serve the EMA shadow params")
+    p.add_argument("--continuous_slots", type=int, default=0,
+                   help="> 0: continuous batching for plain generate "
+                        "requests over this many cache slots "
+                        "(serving/continuous.py)")
+    p.add_argument("--continuous_chunk", type=int, default=8,
+                   help="decode tokens per engine device call")
     cli = p.parse_args(argv)
 
     from neko_tpu.serving.server import NekoServer
@@ -80,6 +86,8 @@ def main(argv: Optional[list] = None) -> None:
     server = NekoServer(
         gen, host=cli.host, port=cli.port,
         max_batch=cli.max_batch, batch_window_ms=cli.batch_window_ms,
+        continuous_slots=cli.continuous_slots,
+        continuous_chunk=cli.continuous_chunk,
     ).start()
     host, port = server.address[0], server.address[1]
     print(f"serving on http://{host}:{port} "

@@ -201,6 +201,17 @@ class Generator:
                 "n_steps", "start", "end", "K", "ngram", "deterministic",
             ) + _samp,
         )
+        # continuous-batching engine: per-row det/temperature/top_p are
+        # TRACED, so requests with any knob mix share one compiled chunk
+        self._engine_chunk_j = jit(
+            self._engine_chunk_impl,
+            static_argnames=("n_steps", "start", "end", "use_top_p"),
+            donate_argnames=("cache",),
+        )
+        self._engine_adopt_j = jit(
+            self._engine_adopt_impl,
+            donate_argnames=("cache", "last_logits", "pos"),
+        )
 
     def _jit(self, fn, **kw):
         """jax.jit that traces (and runs) under the serving mesh, so the
@@ -979,6 +990,126 @@ class Generator:
             use_top_p=use_top_p,
         )
         return tokens, cache
+
+    # --------------------------------------- continuous-batching engine
+    def _engine_chunk_impl(
+        self, params, cache, last_logits, pos, key, det, temp, top_p,
+        *, n_steps, start, end, use_top_p,
+    ):
+        """Decode `n_steps` tokens for ALL engine slots in one compiled
+        scan, with PER-ROW sampling controls.
+
+        Unlike _decode_scan_impl (whose knobs are shared scalars), `det`
+        [N] bool, `temp` [N] and `top_p` [N] are traced per-row operands:
+        greedy and sampled requests with arbitrary knob values share ONE
+        compile variant (both candidate tokens are computed; jnp.where
+        selects per row — the categorical costs nothing next to the
+        matmuls).  Positions ring over the context per row (pos % S equals
+        pos until a row overflows, after which the attended key set is the
+        sliding [-S:] window — same argument as _decode_scan_impl
+        ring=True).  Free slots decode garbage into their own rows
+        (per-row cache masks isolate them; engine_admit overwrites the
+        whole row), which keeps the batch shape static — the decode step
+        is weight-stream-bound, so idle rows are nearly free (PROFILE.md:
+        B=8→32 costs only +12%).
+        """
+        def body(carry, _):
+            cache, last_logits, pos, key = carry
+            # fp8 serving: dequantize in-body (once per token; see _dq)
+            p = self._dq(params)
+            key, sub = jax.random.split(key)
+            window = last_logits[:, start : end + 1]
+            greedy = jnp.argmax(window, axis=-1)
+            warped = apply_logit_filters(
+                window, temperature=temp[:, None], top_k=0,
+                top_p=top_p[:, None], use_top_p=use_top_p,
+            )
+            sampled = jax.random.categorical(sub, warped, axis=-1)
+            tok = (jnp.where(det, greedy, sampled) + start).astype(jnp.int32)
+            emb = self.model.apply(
+                {"params": p}, tok[:, None], method=NekoModel.embed_tokens
+            )
+            logits, vars_ = self.model.apply(
+                {"params": p, "cache": cache}, emb,
+                pos % self.cfg.context_len,
+                method=NekoModel.decode_step, mutable=["cache"],
+            )
+            return (vars_["cache"], logits[:, 0], pos + 1, key), tok
+
+        carry, toks = jax.lax.scan(
+            body, (cache, last_logits, pos, key), None, length=n_steps
+        )
+        cache, last_logits, pos, _ = carry
+        return jnp.swapaxes(toks, 0, 1), cache, last_logits, pos
+
+    def _engine_adopt_impl(
+        self, cache, last_logits, pos, cache1, last1, b, L
+    ):
+        """Scatter a freshly prefilled single-row cache into engine slot
+        `b` (traced int32 — no recompile per slot)."""
+        cache = jax.tree.map(lambda d, s: d.at[b].set(s[0]), cache, cache1)
+        return cache, last_logits.at[b].set(last1), pos.at[b].set(L)
+
+    def engine_init(self, slots: int) -> Dict:
+        """Allocate continuous-batching engine state: `slots` cache rows,
+        all free.  The serving counterpart of the reference's... nothing —
+        the reference has no server and re-runs full forwards per token
+        (gato_policy.py:434-470).  See serving/continuous.py for the
+        scheduler that drives this."""
+        arrays = self.packer.pack_batch(
+            [{"text": [0]}] * slots, pad_side="right"
+        )
+        arrays.pop("lengths")
+        batch = to_device_batch(arrays)
+        emb = self._embed_batch(self.params, batch)
+        mask = jnp.zeros((slots, self.cfg.context_len), bool)
+        logits, cache = self._prefill(self.params, emb, mask)
+        return {
+            "cache": cache,
+            "last": jnp.zeros_like(logits[:, 0]),
+            "pos": jnp.zeros((slots,), jnp.int32),
+        }
+
+    def engine_admit(
+        self, state: Dict, slot: int, example: Dict, drop_trailing: int = 0
+    ) -> Dict:
+        """Prefill one prompt and install it in engine slot `slot` while
+        the other slots' caches ride along untouched."""
+        arrays = self.packer.pack_batch([example], pad_side="right")
+        L = int(arrays.pop("lengths")[0]) - drop_trailing
+        batch = to_device_batch(arrays)
+        emb = self._embed_batch(self.params, batch)
+        mask = np.zeros((1, self.cfg.context_len), bool)
+        mask[0, :L] = True
+        logits, cache1 = self._prefill(self.params, emb, jnp.asarray(mask))
+        cache, last, pos = self._engine_adopt_j(
+            state["cache"], state["last"], state["pos"],
+            cache1, logits[0, L - 1],
+            jnp.asarray(slot, jnp.int32), jnp.asarray(L, jnp.int32),
+        )
+        return {"cache": cache, "last": last, "pos": pos}
+
+    def engine_chunk(
+        self, state: Dict, *, n_steps: int, start: int, end: int,
+        det, temp, top_p, rng: Optional[jax.Array] = None,
+    ):
+        """Advance every slot by `n_steps` tokens; returns (tokens [N,
+        n_steps] np.int64 ABSOLUTE ids, new state).  det/temp/top_p are
+        length-N per-row arrays (free slots: True/1.0/1.0)."""
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        use_top_p = bool(np.any(np.asarray(top_p, np.float32) < 1.0))
+        toks, cache, last, pos = self._engine_chunk_j(
+            self.params, state["cache"], state["last"], state["pos"], rng,
+            jnp.asarray(det, bool), jnp.asarray(temp, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
+            n_steps=int(n_steps), start=int(start), end=int(end),
+            use_top_p=use_top_p,
+        )
+        return (
+            np.asarray(toks, np.int64),
+            {"cache": cache, "last": last, "pos": pos},
+        )
 
     def _select_batch_impl(self, logits, key, *, start, end, deterministic,
                            temperature=1.0, top_k=0, top_p=1.0,

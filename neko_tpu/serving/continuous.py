@@ -1,0 +1,214 @@
+"""Continuous batching: requests join and leave a RUNNING decode loop.
+
+The coalescing worker (server.py::_run_worker) batches requests that
+arrive within one window and then runs them to completion — a request
+that arrives mid-decode waits for the whole batch to finish, and requests
+only share a device call when their sampling knobs match exactly.  This
+module removes both limits the way production LLM servers do (vLLM-style
+continuous batching, rebuilt TPU-style on static shapes):
+
+* a fixed pool of `slots` cache rows decodes in lockstep, `chunk` tokens
+  per compiled call (`Generator.engine_chunk`);
+* a new request PREFILLS into any free slot between chunks and starts
+  decoding on the next chunk (`Generator.engine_admit` scatters one
+  prefilled row into the pool without touching the others);
+* finished rows free their slot immediately; the other rows never stop;
+* deterministic/temperature/top_p are per-ROW traced operands, so greedy
+  and sampled requests with arbitrary knob values share one compile
+  variant AND one device call (the coalescing path recompiles per top_k
+  and groups per knob tuple);
+* each row runs its exact requested length — no pow2 bucketing.
+
+Why lockstep slots instead of dynamic batching: XLA requires static
+shapes, and the decode step is weight-stream-bound, so idle rows are
+nearly free (PROFILE.md: growing the decode batch 8->32 costs only +12%
+wall time).  Greedy outputs are token-identical to `generate_batch`
+(tests/test_continuous.py) — scheduling changes latency, not results.
+
+The reference has no server and no cache: every generated token re-runs
+the full context forward (gato_policy.py:434-470).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _truncate_at_stop(ids: List[int], stop) -> List[int]:
+    if not stop:
+        return ids
+    stops = set(int(s) for s in stop)
+    for i, t in enumerate(ids):
+        if t in stops:
+            return ids[:i]
+    return ids
+
+
+class _Slot:
+    __slots__ = ("req", "want", "ids", "det", "temp", "top_p", "co")
+
+    def __init__(self, req, want, det, temp, top_p):
+        self.req = req
+        self.want = want
+        self.ids: List[int] = []
+        self.det = det
+        self.temp = temp
+        self.top_p = top_p
+        self.co = 0  # max co-resident active slots observed
+
+
+class ContinuousEngine:
+    """Owns the slot pool, the admission queue and the decode thread.
+
+    Accepts the server's `_Pending` requests (payloads pre-validated by
+    NekoServer.submit).  Eligibility is the server's concern: plain
+    /v1/generate requests (no beams, no speculative, top_k == 0)."""
+
+    def __init__(self, generator, *, slots: int = 8, chunk: int = 8,
+                 seed: int = 0):
+        assert slots >= 1 and chunk >= 1
+        self.gen = generator
+        self.n_slots = slots
+        self.chunk = chunk
+        # engine-owned sampling stream: the coalescing worker splits the
+        # Generator's key concurrently — two threads must not share it
+        import jax
+
+        self._key = jax.random.key(seed)
+        ts = generator.cfg.token_space
+        self.start_id, self.end_id = ts.start("text"), ts.end("text")
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._state = None  # lazily engine_init'd on the decode thread
+        self._slots: List[Optional[_Slot]] = [None] * slots
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self) -> "ContinuousEngine":
+        self._thread.start()
+        return self
+
+    def close(self) -> None:
+        self._stop.set()
+        self._thread.join(timeout=10)
+        for r in self._drain() + [
+            s.req for s in self._slots if s is not None
+        ]:
+            r.error, r.status = "server closing", 503
+            r.event.set()
+        self._slots = [None] * self.n_slots
+
+    def _drain(self):
+        out = []
+        while True:
+            try:
+                out.append(self._q.get_nowait())
+            except queue.Empty:
+                return out
+
+    # -------------------------------------------------------------- intake
+    def submit(self, req) -> None:
+        self._q.put(req)
+
+    # --------------------------------------------------------------- loop
+    def _admit_waiting(self) -> None:
+        while None in self._slots:
+            try:
+                req = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if req.cancelled:
+                continue
+            try:
+                self._admit(req)
+            except Exception as e:  # noqa: BLE001 — prefill fault
+                req.error = f"{type(e).__name__}: {e}"
+                req.status = 500
+                req.event.set()
+
+    def _admit(self, req) -> None:
+        from neko_tpu.serving.server import _example_from_payload, _opt
+
+        b = self._slots.index(None)
+        p = req.payload
+        self._state = self.gen.engine_admit(
+            self._state, b, _example_from_payload(p)
+        )
+        self._slots[b] = _Slot(
+            req,
+            want=_opt(p, "max_new_tokens", 16, int),
+            det=bool(p.get("deterministic", True)),
+            temp=_opt(p, "temperature", 1.0, float),
+            top_p=_opt(p, "top_p", 1.0, float),
+        )
+
+    def _finish(self, b: int, ids: List[int]) -> None:
+        s = self._slots[b]
+        s.req.result = {
+            "tokens": ids,
+            "batched_with": s.co,
+            "continuous": True,
+        }
+        s.req.event.set()
+        self._slots[b] = None
+
+    def _loop(self) -> None:
+        self._state = self.gen.engine_init(self.n_slots)
+        n = self.n_slots
+        while not self._stop.is_set():
+            self._admit_waiting()
+            active = [b for b, s in enumerate(self._slots) if s is not None]
+            if not active:
+                # idle: block briefly on the queue instead of spinning
+                try:
+                    req = self._q.get(timeout=0.05)
+                except queue.Empty:
+                    continue
+                if req.cancelled:
+                    continue
+                try:
+                    self._admit(req)
+                except Exception as e:  # noqa: BLE001
+                    req.error, req.status = f"{type(e).__name__}: {e}", 500
+                    req.event.set()
+                continue
+
+            det = np.ones(n, bool)
+            temp = np.ones(n, np.float32)
+            top_p = np.ones(n, np.float32)
+            for b in active:
+                s = self._slots[b]
+                det[b], temp[b], top_p[b] = s.det, s.temp, s.top_p
+                s.co = max(s.co, len(active) - 1)
+            try:
+                import jax
+
+                self._key, sub = jax.random.split(self._key)
+                toks, self._state = self.gen.engine_chunk(
+                    self._state, n_steps=self.chunk,
+                    start=self.start_id, end=self.end_id,
+                    det=det, temp=temp, top_p=top_p, rng=sub,
+                )
+            except Exception as e:  # noqa: BLE001 — device fault: fail the
+                # in-flight requests rather than hanging their handlers
+                for b in active:
+                    s = self._slots[b]
+                    s.req.error = f"{type(e).__name__}: {e}"
+                    s.req.status = 500
+                    s.req.event.set()
+                    self._slots[b] = None
+                continue
+            for b in active:
+                s = self._slots[b]
+                if s.req.cancelled:  # handler timed out mid-flight
+                    self._slots[b] = None
+                    continue
+                s.ids.extend(int(t) - self.start_id for t in toks[b])
+                ids = s.ids[: s.want]
+                cut = _truncate_at_stop(ids, s.req.payload.get("stop"))
+                if len(cut) < len(ids) or len(ids) >= s.want:
+                    self._finish(b, cut)

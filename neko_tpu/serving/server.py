@@ -103,7 +103,15 @@ class NekoServer:
         batch_window_ms: float = 5.0,
         max_tokens: int = 256,
         max_beams: int = 8,
+        continuous_slots: int = 0,
+        continuous_chunk: int = 8,
     ):
+        """`continuous_slots` > 0 enables CONTINUOUS BATCHING for plain
+        /v1/generate requests (no beams/speculative, top_k == 0): they
+        join a running decode loop over a fixed slot pool instead of the
+        coalescing worker — see serving/continuous.py.  Everything else
+        (beams, speculative, top_k > 0, /v1/action) keeps the coalescing
+        path."""
         self.gen = generator
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
@@ -112,6 +120,13 @@ class NekoServer:
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
+        self._cont = None
+        if continuous_slots > 0:
+            from neko_tpu.serving.continuous import ContinuousEngine
+
+            self._cont = ContinuousEngine(
+                generator, slots=continuous_slots, chunk=continuous_chunk
+            )
 
         server = self
 
@@ -177,6 +192,8 @@ class NekoServer:
 
     def start(self) -> "NekoServer":
         self._worker.start()
+        if self._cont is not None:
+            self._cont.start()
         self._serve_thread.start()
         return self
 
@@ -185,6 +202,8 @@ class NekoServer:
         self.httpd.shutdown()
         self.httpd.server_close()
         self._worker.join(timeout=5)
+        if self._cont is not None:
+            self._cont.close()
         # release any handler threads still waiting on queued requests
         while True:
             try:
@@ -210,6 +229,7 @@ class NekoServer:
 
     def submit(self, payload: Dict, timeout: float = 120.0) -> _Pending:
         kind = payload["_kind"]
+        use_cont = False
         if kind == "generate":
             want = _opt(payload, "max_new_tokens", 16, int)
             if not 1 <= want <= self.max_tokens:
@@ -279,6 +299,15 @@ class NekoServer:
                 key = ("spec", want, spec_k,
                        bool(payload.get("deterministic", True)),
                        temperature, top_k, top_p)
+            # continuous batching serves the plain-generate class: the
+            # engine's per-row traced knobs cover det/temp/top_p/stop/want;
+            # top_k (static shape) and beams/speculative stay coalesced
+            use_cont = (
+                self._cont is not None
+                and num_beams == 1
+                and not payload.get("speculative")
+                and top_k == 0
+            )
         else:
             action_kind = str(payload["action_kind"])
             if action_kind not in ("continuous", "discrete"):
@@ -306,7 +335,10 @@ class NekoServer:
         if self._stop.is_set():
             req.error, req.status = "server closing", 503
             return req
-        self._q.put(req)
+        if use_cont:
+            self._cont.submit(req)
+        else:
+            self._q.put(req)
         if not req.event.wait(timeout):
             req.cancelled = True  # worker will skip it
             req.error, req.status = "timed out", 504

@@ -1,0 +1,267 @@
+"""Continuous batching (serving/continuous.py + Generator.engine_*).
+
+Requests join and leave a RUNNING decode loop over a fixed slot pool —
+the serving-scheduler capability the coalescing worker lacks (a request
+arriving mid-decode no longer waits for the whole batch).  These tests
+pin (1) token-exactness of the engine primitives against generate_batch,
+including MID-FLIGHT admission, (2) per-row sampling knobs in one chunk,
+(3) the scheduler: stop tokens, early finish, slot reuse, concurrent HTTP
+requests with different knobs sharing the engine.  The reference has no
+server at all (gato_policy.py:434-470 re-runs full forwards per token).
+"""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from neko_tpu.config import ModelConfig
+from neko_tpu.data.batch import to_device_batch
+from neko_tpu.data.packing import SequencePacker
+from neko_tpu.inference.generator import Generator
+from neko_tpu.models.policy import NekoModel
+from neko_tpu.serving.server import NekoServer
+
+CFG = ModelConfig(
+    embed_dim=32, layers=2, heads=2, dropout=0.0, context_len=64,
+    max_patches=4, patch_size=16, dtype="float32", attention_impl="xla",
+    text_tokens=128, continuous_tokens=32, discrete_tokens=16,
+)
+
+
+@pytest.fixture(scope="module")
+def gen():
+    model = NekoModel(CFG)
+    packer = SequencePacker(CFG)
+    arrays = packer.pack_batch([{"text": [1, 2, 3]}])
+    arrays.pop("lengths")
+    params = model.init(
+        {"params": jax.random.key(0)}, to_device_batch(arrays)
+    )["params"]
+    return Generator(model, params, packer, seed=11)
+
+
+def _window(gen):
+    ts = gen.cfg.token_space
+    return ts.start("text"), ts.end("text")
+
+
+# ------------------------------------------------------- engine primitives
+def test_engine_greedy_matches_generate_batch(gen):
+    """Chunked engine decode == one-shot generate_batch, token for token."""
+    s, e = _window(gen)
+    prompt = {"text": [5, 17, 99, 3, 42, 8]}
+    (ref,) = gen.generate_batch(
+        [prompt], max_new_tokens=16, start=s, end=e, return_logits=False,
+    )
+    st = gen.engine_init(4)
+    st = gen.engine_admit(st, 2, prompt)
+    det, one = np.ones(4, bool), np.ones(4, np.float32)
+    got = []
+    for _ in range(4):
+        toks, st = gen.engine_chunk(
+            st, n_steps=4, start=s, end=e, det=det, temp=one, top_p=one,
+        )
+        got.extend(toks[2])
+    assert got == list(np.asarray(ref)[0])
+
+
+def test_engine_mid_flight_admission_is_exact(gen):
+    """A row admitted while another is mid-decode produces the same tokens
+    as a fresh single-prompt run — slots are fully isolated."""
+    s, e = _window(gen)
+    pA, pB = {"text": [5, 17, 99, 3, 42, 8]}, {"text": [7, 7, 9]}
+    (refA,) = gen.generate_batch(
+        [pA], max_new_tokens=16, start=s, end=e, return_logits=False)
+    (refB,) = gen.generate_batch(
+        [pB], max_new_tokens=8, start=s, end=e, return_logits=False)
+    st = gen.engine_init(4)
+    det, one = np.ones(4, bool), np.ones(4, np.float32)
+    st = gen.engine_admit(st, 1, pA)
+    toks, st = gen.engine_chunk(
+        st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
+    gotA = list(toks[1])
+    st = gen.engine_admit(st, 3, pB)  # join mid-flight
+    toks, st = gen.engine_chunk(
+        st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
+    gotA += list(toks[1])
+    gotB = list(toks[3])
+    assert gotA == list(np.asarray(refA)[0])
+    assert gotB == list(np.asarray(refB)[0])
+
+
+def test_engine_slot_reuse_is_clean(gen):
+    """Re-admitting into a used slot fully replaces its cache row."""
+    s, e = _window(gen)
+    p = {"text": [5, 17, 99, 3, 42, 8]}
+    (ref,) = gen.generate_batch(
+        [p], max_new_tokens=8, start=s, end=e, return_logits=False)
+    st = gen.engine_init(2)
+    det, one = np.ones(2, bool), np.ones(2, np.float32)
+    st = gen.engine_admit(st, 0, {"text": [9, 9, 9, 9]})
+    toks, st = gen.engine_chunk(
+        st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
+    st = gen.engine_admit(st, 0, p)  # reuse slot 0
+    toks, st = gen.engine_chunk(
+        st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
+    assert list(toks[0]) == list(np.asarray(ref)[0])
+
+
+def test_engine_per_row_sampling_knobs(gen):
+    """One chunk serves a greedy row and a near-zero-temperature sampled
+    row: the sampled row with temp->0 must reproduce greedy (the argmax
+    dominates), proving the traced per-row knobs actually apply."""
+    s, e = _window(gen)
+    p = {"text": [5, 17, 99, 3, 42, 8]}
+    st = gen.engine_init(2)
+    st = gen.engine_admit(st, 0, p)
+    st = gen.engine_admit(st, 1, p)
+    det = np.array([True, False])
+    temp = np.array([1.0, 1e-4], np.float32)
+    one = np.ones(2, np.float32)
+    toks, st = gen.engine_chunk(
+        st, n_steps=12, start=s, end=e, det=det, temp=temp, top_p=one,
+        rng=jax.random.key(3),
+    )
+    assert list(toks[0]) == list(toks[1])
+    # in-range sanity
+    assert ((toks >= s) & (toks <= e)).all()
+
+
+def test_engine_ring_overflow(gen):
+    """Rows keep generating past the context window (per-row ring)."""
+    s, e = _window(gen)
+    prompt = {"text": list(range(5, 5 + CFG.context_len - 4))}
+    st = gen.engine_init(2)
+    st = gen.engine_admit(st, 0, prompt)
+    det, one = np.ones(2, bool), np.ones(2, np.float32)
+    got = []
+    for _ in range(3):
+        toks, st = gen.engine_chunk(
+            st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
+        got.extend(toks[0])
+    assert len(got) == 24
+    assert all(s <= t <= e for t in got)
+
+
+# ------------------------------------------------------------- HTTP layer
+@pytest.fixture(scope="module")
+def server(gen):
+    with NekoServer(
+        gen, port=0, max_batch=4, batch_window_ms=30.0,
+        continuous_slots=3, continuous_chunk=4,
+    ) as srv:
+        yield srv
+
+
+def _post(server, payload):
+    host, port = server.address[0], server.address[1]
+    req = urllib.request.Request(
+        f"http://{host}:{port}/v1/generate",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_http_continuous_matches_direct(server, gen):
+    s, _ = _window(gen)
+    code, body = _post(server, {"text": [5, 6, 7], "max_new_tokens": 6})
+    assert code == 200
+    assert body.get("continuous") is True
+    ts = gen.cfg.token_space
+    direct, _ = gen.generate_batch(
+        [{"text": [5, 6, 7]}], max_new_tokens=6,
+        start=ts.start("text"), end=ts.end("text"),
+    )
+    assert body["tokens"] == (np.asarray(direct)[0] - s).tolist()
+
+
+def test_http_concurrent_mixed_knobs_share_engine(server, gen):
+    """Concurrent greedy + sampled + stop-token requests all resolve
+    correctly through one engine (no per-knob grouping)."""
+    s, _ = _window(gen)
+    ts = gen.cfg.token_space
+    direct, _ = gen.generate_batch(
+        [{"text": [5, 6, 7]}], max_new_tokens=8,
+        start=ts.start("text"), end=ts.end("text"),
+    )
+    want_greedy = (np.asarray(direct)[0] - s).tolist()
+    results = {}
+
+    def post(name, payload):
+        results[name] = _post(server, payload)
+
+    threads = [
+        threading.Thread(target=post, args=("greedy", {
+            "text": [5, 6, 7], "max_new_tokens": 8})),
+        threading.Thread(target=post, args=("sampled", {
+            "text": [9, 2, 4], "max_new_tokens": 8,
+            "deterministic": False, "temperature": 0.7, "top_p": 0.9})),
+        threading.Thread(target=post, args=("stopped", {
+            "text": [5, 6, 7], "max_new_tokens": 8,
+            "stop": [want_greedy[2]]})),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    code, body = results["greedy"]
+    assert code == 200 and body["tokens"] == want_greedy
+    code, body = results["sampled"]
+    assert code == 200 and len(body["tokens"]) == 8
+    W = gen.cfg.token_space.end("text") - gen.cfg.token_space.start("text")
+    assert all(0 <= t <= W for t in body["tokens"])
+    code, body = results["stopped"]
+    assert code == 200 and body["tokens"] == want_greedy[:2]
+
+
+def test_http_more_requests_than_slots(server):
+    """6 concurrent requests over 3 slots: the queue drains as slots free."""
+    results = [None] * 6
+
+    def post(i):
+        results[i] = _post(server, {
+            "text": [3 + i, 8, 1], "max_new_tokens": 5})
+
+    threads = [threading.Thread(target=post, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for code, body in results:
+        assert code == 200
+        assert len(body["tokens"]) == 5
+
+
+def test_http_ineligible_requests_fall_back_to_coalescing(server):
+    """beams / top_k > 0 keep the coalescing path (no 'continuous' tag)."""
+    code, body = _post(server, {
+        "text": [9, 2], "max_new_tokens": 4, "num_beams": 3})
+    assert code == 200 and "continuous" not in body
+    code, body = _post(server, {
+        "text": [9, 2], "max_new_tokens": 4,
+        "deterministic": False, "top_k": 5})
+    assert code == 200 and "continuous" not in body
+
+
+def test_engine_composes_with_fp8_weights(gen):
+    """The engine chunk dequantizes fp8 kernels in-body like the other
+    decode scans (tests/test_fp8_weights.py has the quality bounds)."""
+    s, e = _window(gen)
+    gen8 = Generator(gen.model, gen.params, gen.packer, weight_dtype="fp8")
+    p = {"text": [5, 17, 99, 3]}
+    st = gen8.engine_init(2)
+    st = gen8.engine_admit(st, 0, p)
+    det, one = np.ones(2, bool), np.ones(2, np.float32)
+    toks, st = gen8.engine_chunk(
+        st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
+    assert ((toks[0] >= s) & (toks[0] <= e)).all()

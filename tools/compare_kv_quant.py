@@ -1,15 +1,18 @@
-"""Quantify int8 KV-cache quality on a TRAINED model (not random params).
+"""Quantify serving-quantization quality on a TRAINED model (not random
+params): int8 KV cache, fp8 weights, or both stacked.
 
-tests/test_kv_quant.py pins the numeric error of the quantized attention
-math; this tool measures the metric-level effect on a model trained on the
-synthetic tasks, with the same harness as tools/compare_ring_exact.py:
+tests/test_kv_quant.py and tests/test_fp8_weights.py pin the numeric error
+of the quantized math; this tool measures the metric-level effect on a
+model trained on the synthetic tasks, with the same harness as
+tools/compare_ring_exact.py:
 
 * text: CE of generated-token logits vs the true continuation
-  (the reference's text metric, text_task.py:98-102), native vs int8 cache
-* control: episode returns over identical seeded episode streams,
-  native vs int8 cache
+  (the reference's text metric, text_task.py:98-102)
+* control: episode returns over identical seeded episode streams
 
-Results recorded in PARITY.md ("int8 KV cache").
+Variants via --variants (comma list of native,int8,fp8,fp8+int8); deltas
+are reported against `native`.  Results recorded in PARITY.md ("int8 KV
+cache", "fp8 weight-only serving").
 """
 
 import argparse
@@ -28,6 +31,8 @@ def main():
     ap.add_argument("--text_examples", type=int, default=16)
     ap.add_argument("--episodes", type=int, default=16)
     ap.add_argument("--targets", type=int, default=64)
+    ap.add_argument("--variants", type=str, default="native,int8",
+                    help="comma list of native,int8,fp8,fp8+int8")
     args = ap.parse_args()
 
     import jax
@@ -59,12 +64,19 @@ def main():
     print(f"training {args.steps} steps on synthetic text+control ...")
     trainer.train()
     state = trainer.state
+    cfg8 = dataclasses.replace(ctx.model_cfg, kv_cache_dtype="int8")
+    recipes = {
+        "native": (ctx.model, None),
+        "int8": (NekoModel(cfg8), None),
+        "fp8": (ctx.model, "fp8"),
+        "fp8+int8": (NekoModel(cfg8), "fp8"),
+    }
+    variants = [v.strip() for v in args.variants.split(",") if v.strip()]
+    assert variants[0] == "native", "deltas are reported against 'native'"
     gens = {
-        "native": Generator(ctx.model, state.params, trainer.packer),
-        "int8": Generator(
-            NekoModel(dataclasses.replace(ctx.model_cfg, kv_cache_dtype="int8")),
-            state.params, trainer.packer,
-        ),
+        name: Generator(recipes[name][0], state.params, trainer.packer,
+                        weight_dtype=recipes[name][1])
+        for name in variants
     }
 
     ts = ctx.model_cfg.token_space
@@ -95,13 +107,16 @@ def main():
             logp = lg - np.log(np.exp(lg).sum(-1, keepdims=True))
             nll = -logp[np.arange(len(target)), np.asarray(target)]
             losses[name].append(nll.mean())
-    nat, q8 = np.mean(losses["native"]), np.mean(losses["int8"])
-    print(
-        f"text ({args.text_examples} ex, {args.targets} gen tokens, ctx {k}):\n"
-        f"  native loss {nat:.4f}  ppl {np.exp(nat):.2f}\n"
-        f"  int8   loss {q8:.4f}  ppl {np.exp(q8):.2f}\n"
-        f"  delta (int8 - native) {q8 - nat:+.4f}"
-    )
+    nat = np.mean(losses["native"])
+    print(f"text ({args.text_examples} ex, {args.targets} gen tokens, "
+          f"ctx {k}):")
+    print(f"  native   loss {nat:.4f}  ppl {np.exp(nat):.2f}")
+    for name in gens:
+        if name == "native":
+            continue
+        q = np.mean(losses[name])
+        print(f"  {name:8s} loss {q:.4f}  ppl {np.exp(q):.2f}  "
+              f"delta ({name} - native) {q - nat:+.4f}")
 
     # ---------------- control: returns, both cache dtypes
     rets = {}
@@ -116,7 +131,11 @@ def main():
         rets[name] = m["mean_return"]
         print(f"control {name}: mean_return {m['mean_return']:.3f} "
               f"(ep_len {m['mean_episode_len']:.1f})")
-    print(f"control delta (int8 - native) {rets['int8'] - rets['native']:+.3f}")
+    for name in gens:
+        if name == "native":
+            continue
+        print(f"control delta ({name} - native) "
+              f"{rets[name] - rets['native']:+.3f}")
 
 
 if __name__ == "__main__":
