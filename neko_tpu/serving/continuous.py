@@ -49,7 +49,7 @@ def _truncate_at_stop(ids: List[int], stop) -> List[int]:
 
 
 class _Slot:
-    __slots__ = ("req", "want", "ids", "det", "temp", "top_p", "co")
+    __slots__ = ("req", "want", "ids", "det", "temp", "top_p", "co", "sent")
 
     def __init__(self, req, want, det, temp, top_p):
         self.req = req
@@ -58,7 +58,8 @@ class _Slot:
         self.det = det
         self.temp = temp
         self.top_p = top_p
-        self.co = 0  # max co-resident active slots observed
+        self.co = 0    # max co-resident active slots observed
+        self.sent = 0  # tokens already streamed (stream_q requests)
 
 
 class ContinuousEngine:
@@ -99,6 +100,8 @@ class ContinuousEngine:
             s.req for s in self._slots if s is not None
         ]:
             r.error, r.status = "server closing", 503
+            if r.stream_q is not None:
+                r.stream_q.put(("error", r.error))
             r.event.set()
         self._slots = [None] * self.n_slots
 
@@ -126,9 +129,7 @@ class ContinuousEngine:
             try:
                 self._admit(req)
             except Exception as e:  # noqa: BLE001 — prefill fault
-                req.error = f"{type(e).__name__}: {e}"
-                req.status = 500
-                req.event.set()
+                self._fail(req, f"{type(e).__name__}: {e}")
 
     def _admit(self, req) -> None:
         from neko_tpu.serving.server import _example_from_payload, _opt
@@ -153,8 +154,17 @@ class ContinuousEngine:
             "batched_with": s.co,
             "continuous": True,
         }
+        if s.req.stream_q is not None:
+            s.req.stream_q.put(("done", s.req.result))
         s.req.event.set()
         self._slots[b] = None
+
+    @staticmethod
+    def _fail(req, msg: str) -> None:
+        req.error, req.status = msg, 500
+        if req.stream_q is not None:
+            req.stream_q.put(("error", msg))
+        req.event.set()
 
     def _loop(self) -> None:
         self._state = self.gen.engine_init(self.n_slots)
@@ -173,8 +183,7 @@ class ContinuousEngine:
                 try:
                     self._admit(req)
                 except Exception as e:  # noqa: BLE001
-                    req.error, req.status = f"{type(e).__name__}: {e}", 500
-                    req.event.set()
+                    self._fail(req, f"{type(e).__name__}: {e}")
                 continue
 
             det = np.ones(n, bool)
@@ -197,9 +206,7 @@ class ContinuousEngine:
                 # in-flight requests rather than hanging their handlers
                 for b in active:
                     s = self._slots[b]
-                    s.req.error = f"{type(e).__name__}: {e}"
-                    s.req.status = 500
-                    s.req.event.set()
+                    self._fail(s.req, f"{type(e).__name__}: {e}")
                     self._slots[b] = None
                 continue
             for b in active:
@@ -210,5 +217,12 @@ class ContinuousEngine:
                 s.ids.extend(int(t) - self.start_id for t in toks[b])
                 ids = s.ids[: s.want]
                 cut = _truncate_at_stop(ids, s.req.payload.get("stop"))
-                if len(cut) < len(ids) or len(ids) >= s.want:
+                done = len(cut) < len(ids) or len(ids) >= s.want
+                if s.req.stream_q is not None and len(cut) > s.sent:
+                    # stream only CONFIRMED tokens (the stop cut applies
+                    # within the chunk that produced it — never retracts
+                    # tokens streamed by earlier chunks)
+                    s.req.stream_q.put(("tokens", cut[s.sent:]))
+                    s.sent = len(cut)
+                if done:
                     self._finish(b, cut)

@@ -36,7 +36,7 @@ from neko_tpu.inference.generator import _check_sampling_args
 
 class _Pending:
     __slots__ = ("payload", "event", "result", "error", "key", "status",
-                 "cancelled")
+                 "cancelled", "stream_q")
 
     def __init__(self, payload: Dict, key):
         self.payload = payload
@@ -46,6 +46,9 @@ class _Pending:
         self.status = 200
         self.cancelled = False
         self.key = key
+        # streaming requests: ("tokens", [ids]) / ("done", result) /
+        # ("error", msg) events, produced by the continuous engine
+        self.stream_q: Optional[queue.Queue] = None
 
 
 def _opt(payload: Dict, key: str, default, cast):
@@ -131,6 +134,10 @@ class NekoServer:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
+            # chunked transfer-encoding (token streaming) needs HTTP/1.1;
+            # every non-stream response already sends Content-Length
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, *a):  # quiet
                 pass
 
@@ -178,7 +185,43 @@ class NekoServer:
                     return self._json(400, {"error": str(e)})
                 if result.error is not None:
                     return self._json(result.status, {"error": result.error})
+                if result.stream_q is not None:
+                    return self._stream(result)
                 self._json(200, result.result)
+
+            def _stream(self, req) -> None:
+                """Chunked NDJSON: one {'tokens': [...]} line per engine
+                chunk, then {'done': true, ...} (or {'error': ...})."""
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.end_headers()
+
+                def line(obj):
+                    data = (json.dumps(obj) + "\n").encode()
+                    self.wfile.write(
+                        f"{len(data):X}\r\n".encode() + data + b"\r\n"
+                    )
+
+                deadline = time.time() + 120.0
+                while True:
+                    try:
+                        kind, val = req.stream_q.get(
+                            timeout=max(0.1, deadline - time.time())
+                        )
+                    except queue.Empty:
+                        req.cancelled = True  # engine frees the slot
+                        line({"error": "timed out"})
+                        break
+                    if kind == "tokens":
+                        line({"tokens": val})
+                    elif kind == "done":
+                        line({"done": True, **val})
+                        break
+                    else:
+                        line({"error": val})
+                        break
+                self.wfile.write(b"0\r\n\r\n")
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._serve_thread = threading.Thread(
@@ -331,9 +374,21 @@ class NekoServer:
             "obs" in k or k == "images" for k in ex
         ):
             raise ValueError("action requests need an observation input")
+        stream = bool(payload.get("stream"))
+        if stream and not use_cont:
+            raise ValueError(
+                "streaming needs continuous batching (--continuous_slots) "
+                "and a plain generate request (no beams/speculative/top_k)"
+            )
         req = _Pending(payload, key)
         if self._stop.is_set():
             req.error, req.status = "server closing", 503
+            return req
+        if stream:
+            # hand the caller an event stream; tokens flow as engine
+            # chunks finish (the handler writes them as chunked NDJSON)
+            req.stream_q = queue.Queue()
+            self._cont.submit(req)
             return req
         if use_cont:
             self._cont.submit(req)

@@ -265,3 +265,86 @@ def test_engine_composes_with_fp8_weights(gen):
     toks, st = gen8.engine_chunk(
         st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
     assert ((toks[0] >= s) & (toks[0] <= e)).all()
+
+
+# --------------------------------------------------------------- streaming
+def test_http_streaming_tokens(server, gen):
+    """stream=true: chunked NDJSON token events whose concatenation equals
+    the non-streamed greedy result, finished by a done event."""
+    import http.client
+
+    s, _ = _window(gen)
+    ts = gen.cfg.token_space
+    direct, _ = gen.generate_batch(
+        [{"text": [5, 6, 7]}], max_new_tokens=12,
+        start=ts.start("text"), end=ts.end("text"),
+    )
+    want = (np.asarray(direct)[0] - s).tolist()
+    host, port = server.address[0], server.address[1]
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request(
+        "POST", "/v1/generate",
+        body=json.dumps({"text": [5, 6, 7], "max_new_tokens": 12,
+                         "stream": True}),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "application/x-ndjson"
+    events = []
+    while True:
+        line = resp.readline()
+        if not line:
+            break
+        events.append(json.loads(line))
+    conn.close()
+    token_events = [e for e in events if "tokens" in e and "done" not in e]
+    # engine chunk=4, want=12 -> at least 3 incremental events
+    assert len(token_events) >= 3
+    got = [t for e in token_events for t in e["tokens"]]
+    assert got == want
+    assert events[-1]["done"] is True
+    assert events[-1]["tokens"] == want
+
+
+def test_http_streaming_stop_token(server, gen):
+    """Streaming respects stop tokens: the stream cuts at the stop and the
+    done event reports the truncated result."""
+    import http.client
+
+    s, _ = _window(gen)
+    ts = gen.cfg.token_space
+    direct, _ = gen.generate_batch(
+        [{"text": [5, 6, 7]}], max_new_tokens=12,
+        start=ts.start("text"), end=ts.end("text"),
+    )
+    want = (np.asarray(direct)[0] - s).tolist()
+    # pick a stop id whose FIRST occurrence is past the first engine chunk
+    # (chunk=4), so the stream must emit some tokens before cutting
+    idx = next(i for i, t in enumerate(want) if i >= 4 and t not in want[:i])
+    host, port = server.address[0], server.address[1]
+    conn = http.client.HTTPConnection(host, port, timeout=120)
+    conn.request(
+        "POST", "/v1/generate",
+        body=json.dumps({"text": [5, 6, 7], "max_new_tokens": 12,
+                         "stream": True, "stop": [want[idx]]}),
+        headers={"Content-Type": "application/json"},
+    )
+    resp = conn.getresponse()
+    events = []
+    while True:
+        line = resp.readline()
+        if not line:
+            break
+        events.append(json.loads(line))
+    conn.close()
+    got = [t for e in events if "done" not in e for t in e.get("tokens", [])]
+    assert got == want[:idx]
+    assert events[-1]["done"] is True and events[-1]["tokens"] == want[:idx]
+
+
+def test_streaming_requires_continuous(gen):
+    with NekoServer(gen, port=0) as srv:
+        with pytest.raises(ValueError, match="continuous"):
+            srv.submit({"_kind": "generate", "text": [1, 2],
+                        "max_new_tokens": 4, "stream": True})
