@@ -87,6 +87,18 @@ class ContinuousEngine:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._state = None  # lazily engine_init'd on the decode thread
         self._slots: List[Optional[_Slot]] = [None] * slots
+        # advisory counters (served via GET /metrics)
+        self.stats = {"admitted": 0, "finished": 0, "chunks": 0,
+                      "tokens_out": 0}
+
+    def metrics(self) -> Dict:
+        return {
+            **self.stats,
+            "slots": self.n_slots,
+            "active": sum(s is not None for s in self._slots),
+            "queued": self._q.qsize(),
+            "chunk": self.chunk,
+        }
 
     # ------------------------------------------------------------ lifecycle
     def start(self) -> "ContinuousEngine":
@@ -146,6 +158,7 @@ class ContinuousEngine:
             temp=_opt(p, "temperature", 1.0, float),
             top_p=_opt(p, "top_p", 1.0, float),
         )
+        self.stats["admitted"] += 1
 
     def _finish(self, b: int, ids: List[int]) -> None:
         s = self._slots[b]
@@ -158,6 +171,8 @@ class ContinuousEngine:
             s.req.stream_q.put(("done", s.req.result))
         s.req.event.set()
         self._slots[b] = None
+        self.stats["finished"] += 1
+        self.stats["tokens_out"] += len(ids)
 
     @staticmethod
     def _fail(req, msg: str) -> None:
@@ -202,6 +217,7 @@ class ContinuousEngine:
                     start=self.start_id, end=self.end_id,
                     det=det, temp=temp, top_p=top_p, rng=sub,
                 )
+                self.stats["chunks"] += 1
             except Exception as e:  # noqa: BLE001 — device fault: fail the
                 # in-flight requests rather than hanging their handlers
                 for b in active:

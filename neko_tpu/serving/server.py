@@ -123,6 +123,10 @@ class NekoServer:
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
+        # advisory serving counters (GET /metrics); plain int increments —
+        # GIL-consistent enough for observability
+        self.stats = {"requests": 0, "responses": 0, "errors": 0,
+                      "tokens_out": 0, "coalesced_calls": 0}
         self._cont = None
         if continuous_slots > 0:
             from neko_tpu.serving.continuous import ContinuousEngine
@@ -150,6 +154,11 @@ class NekoServer:
                 self.wfile.write(body)
 
             def do_GET(self):
+                if self.path == "/metrics":
+                    m = dict(server.stats)
+                    if server._cont is not None:
+                        m["continuous"] = server._cont.metrics()
+                    return self._json(200, m)
                 if self.path != "/healthz":
                     return self._json(404, {"error": "not found"})
                 cfg = server.gen.cfg
@@ -176,17 +185,25 @@ class NekoServer:
                     payload["_kind"] = "action"
                 else:
                     return self._json(404, {"error": "not found"})
+                server.stats["requests"] += 1
                 try:
                     result = server.submit(payload)
                 except Exception as e:  # noqa: BLE001
                     # anything raised BEFORE queueing is payload-induced
                     # (submit validates; OverflowError from absurd numbers,
                     # etc.) — client error, never a worker fault
+                    server.stats["errors"] += 1
                     return self._json(400, {"error": str(e)})
                 if result.error is not None:
+                    server.stats["errors"] += 1
                     return self._json(result.status, {"error": result.error})
                 if result.stream_q is not None:
                     return self._stream(result)
+                server.stats["responses"] += 1
+                if isinstance(result.result, dict):
+                    server.stats["tokens_out"] += len(
+                        result.result.get("tokens", ())
+                    )
                 self._json(200, result.result)
 
             def _stream(self, req) -> None:
@@ -204,24 +221,31 @@ class NekoServer:
                     )
 
                 deadline = time.time() + 120.0
-                while True:
-                    try:
-                        kind, val = req.stream_q.get(
-                            timeout=max(0.1, deadline - time.time())
-                        )
-                    except queue.Empty:
-                        req.cancelled = True  # engine frees the slot
-                        line({"error": "timed out"})
-                        break
-                    if kind == "tokens":
-                        line({"tokens": val})
-                    elif kind == "done":
-                        line({"done": True, **val})
-                        break
-                    else:
-                        line({"error": val})
-                        break
-                self.wfile.write(b"0\r\n\r\n")
+                try:
+                    while True:
+                        try:
+                            kind, val = req.stream_q.get(
+                                timeout=max(0.1, deadline - time.time())
+                            )
+                        except queue.Empty:
+                            req.cancelled = True  # engine frees the slot
+                            line({"error": "timed out"})
+                            break
+                        if kind == "tokens":
+                            line({"tokens": val})
+                        elif kind == "done":
+                            server.stats["responses"] += 1
+                            server.stats["tokens_out"] += len(val["tokens"])
+                            line({"done": True, **val})
+                            break
+                        else:
+                            line({"error": val})
+                            break
+                    self.wfile.write(b"0\r\n\r\n")
+                except (BrokenPipeError, ConnectionResetError):
+                    # client went away mid-stream: free the slot instead of
+                    # decoding the remaining tokens for nobody
+                    req.cancelled = True
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self._serve_thread = threading.Thread(
@@ -422,6 +446,7 @@ class NekoServer:
                     continue
                 groups.setdefault(r.key, []).append(r)
             for key, rs in groups.items():
+                self.stats["coalesced_calls"] += 1
                 try:
                     if key[0] == "generate":
                         self._serve_generate(key, rs)

@@ -348,3 +348,38 @@ def test_streaming_requires_continuous(gen):
         with pytest.raises(ValueError, match="continuous"):
             srv.submit({"_kind": "generate", "text": [1, 2],
                         "max_new_tokens": 4, "stream": True})
+
+
+def test_engine_tp_mesh_greedy_exact(gen):
+    """Engine under a tensor-parallel mesh matches the single-device
+    engine token-for-token (the admit scatter and chunk donation must
+    respect the TP shardings)."""
+    from neko_tpu.parallel.mesh import create_mesh
+
+    s, e = _window(gen)
+    p = {"text": [5, 17, 99, 3, 42, 8]}
+    mesh = create_mesh(data=1, model=2, devices=jax.devices()[:2])
+    gtp = Generator(gen.model, gen.params, gen.packer, mesh=mesh)
+    st = gtp.engine_init(2)
+    st = gtp.engine_admit(st, 0, p)
+    det, one = np.ones(2, bool), np.ones(2, np.float32)
+    toks, st = gtp.engine_chunk(
+        st, n_steps=8, start=s, end=e, det=det, temp=one, top_p=one)
+    (ref,) = gen.generate_batch(
+        [p], max_new_tokens=8, start=s, end=e, return_logits=False)
+    assert list(toks[0]) == list(np.asarray(ref)[0])
+
+
+def test_http_metrics_endpoint(server):
+    _post(server, {"text": [5, 6, 7], "max_new_tokens": 4})
+    host, port = server.address[0], server.address[1]
+    with urllib.request.urlopen(
+        f"http://{host}:{port}/metrics", timeout=30
+    ) as r:
+        m = json.loads(r.read())
+    assert r.status == 200
+    assert m["requests"] >= 1 and m["responses"] >= 1
+    assert m["tokens_out"] >= 4
+    c = m["continuous"]
+    assert c["slots"] == 3 and c["finished"] >= 1 and c["chunks"] >= 1
+    assert c["tokens_out"] >= 4
