@@ -12,7 +12,7 @@ import argparse
 from typing import Optional
 
 
-def build_generator(cli):
+def build_generator(cli, model_path=None):
     """Checkpoint -> Generator (the eval.py restore path, minus tasks)."""
     from neko_tpu.cli.build import (
         build_context,
@@ -22,7 +22,7 @@ def build_generator(cli):
     from neko_tpu.inference.generator import Generator
 
     ckpt_path, args = resolve_checkpoint_and_args(
-        cli.model_path,
+        model_path or cli.model_path,
         {k: getattr(cli, k, None) for k in ("cpu", "kv_cache_dtype")},
     )
     ctx, _ = build_context(args, tasks=[])
@@ -78,16 +78,23 @@ def main(argv: Optional[list] = None) -> None:
                         "(serving/continuous.py)")
     p.add_argument("--continuous_chunk", type=int, default=8,
                    help="decode tokens per engine device call")
+    p.add_argument("--draft_model_path", type=str, default=None,
+                   help="checkpoint of a (smaller) draft model sharing the "
+                        "token space: speculative requests then verify "
+                        "real draft proposals (generate_spec_draft)")
     cli = p.parse_args(argv)
 
     from neko_tpu.serving.server import NekoServer
 
     gen = build_generator(cli)
+    draft = (build_generator(cli, model_path=cli.draft_model_path)
+             if cli.draft_model_path else None)
     server = NekoServer(
         gen, host=cli.host, port=cli.port,
         max_batch=cli.max_batch, batch_window_ms=cli.batch_window_ms,
         continuous_slots=cli.continuous_slots,
         continuous_chunk=cli.continuous_chunk,
+        draft_generator=draft,
     ).start()
     host, port = server.address[0], server.address[1]
     print(f"serving on http://{host}:{port} "

@@ -201,6 +201,9 @@ class Generator:
                 "n_steps", "start", "end", "K", "ngram", "deterministic",
             ) + _samp,
         )
+        # draft-model speculative decoding: one jitted loop per draft
+        # MODEL (the flax module is closure-bound; params stay traced)
+        self._spec_draft_jits: Dict[int, object] = {}
         # continuous-batching engine: per-row det/temperature/top_p are
         # TRACED, so requests with any knob mix share one compiled chunk
         self._engine_chunk_j = jit(
@@ -799,6 +802,264 @@ class Generator:
                 jnp.int32(0), key, jnp.full(N, -1, jnp.int32))
         carry = jax.lax.while_loop(cond, body, init)
         return carry[5][:, :n_steps], carry[6]
+
+    # ------------------------------------------- draft-model speculation
+    def _get_spec_draft(self, draft_model):
+        """One compiled loop per draft MODULE (closure-bound static); the
+        draft's params stay a traced operand, so weight updates don't
+        recompile."""
+        key = id(draft_model)
+        fn = self._spec_draft_jits.get(key)
+        if fn is None:
+            impl = functools.partial(
+                self._spec_draft_impl, draft_model=draft_model
+            )
+            fn = self._jit(
+                impl,
+                static_argnames=(
+                    "n_steps", "start", "end", "K", "deterministic",
+                    "top_k", "use_top_p",
+                ),
+            )
+            self._spec_draft_jits[key] = fn
+        return fn
+
+    def _spec_draft_impl(
+        self, params, params_d, cache, cache_d, last_logits, pos, key,
+        *, draft_model, n_steps, start, end, K, deterministic,
+        temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
+    ):
+        """Device loop for DRAFT-MODEL speculative decoding (Leviathan et
+        al. 2022): per round the draft autoregressively proposes K tokens
+        (its own KV cache rides along), the target verifies a0 + K
+        proposals in ONE extend_step, and acceptance/residual follow the
+        exact rejection rule:
+
+        * accept proposal t_i with prob min(1, p_i(t_i) / q_i(t_i))
+          (implemented as u * q < p with u ~ U[0,1));
+        * on the first rejection, the NEXT round's a0 samples from the
+          normalized residual (p_m - q_m)+ — carried as the draft's full
+          warped distribution at the rejected position (`q_rej`), since
+          the target's p_m is already the carried last_logits;
+        * all K accepted: a0 next round samples from p_{K+1} directly.
+
+        This preserves the target distribution EXACTLY whatever the draft
+        (greedy mode: every emitted token verified equal to target
+        argmax).  Cache discipline matches _spec_decode_impl: both caches
+        write chunks at [pos, pos+K] and the next round clears that span
+        before anything attends it (the draft's a0-ingestion runs as an
+        extend_step with clear_len=K+1 so its stale proposal tail from
+        the previous round is never attended)."""
+        from neko_tpu.inference import quant
+
+        S = self.cfg.context_len
+        N = last_logits.shape[0]
+        rows = jnp.arange(N)
+        W = end - start + 1
+        out = jnp.zeros((N, n_steps + K + 1), jnp.int32)
+        kcol = jnp.arange(K + 1)[None, :]
+        d_dtype = draft_model.cfg.activation_dtype
+
+        def warp(w):
+            return apply_logit_filters(
+                w, temperature=temperature, top_k=top_k, top_p=top_p,
+                use_top_p=use_top_p,
+            )
+
+        def cond(carry):
+            return jnp.any(carry[0] < n_steps)
+
+        def body(carry):
+            (emitted, cache, cache_d, last_logits, pos, out, rounds, key,
+             has_rej, q_rej) = carry
+            p_t = self._dq(params)
+            # idempotent: dequantizes only if the draft serves fp8 weights
+            p_d = quant.dequantize(params_d, d_dtype)
+            done = emitted >= n_steps
+            win0 = last_logits[:, start : end + 1]
+            if deterministic:
+                a0w = jnp.argmax(win0, axis=-1)
+            else:
+                p0 = jax.nn.softmax(warp(win0), axis=-1)
+                resid = jnp.where(
+                    has_rej[:, None], jnp.maximum(p0 - q_rej, 0.0), p0
+                )
+                # numerically-empty residual (p ~= q everywhere): fall
+                # back to p0 — measure-zero event, keeps the categorical
+                # well-defined
+                rs = jnp.sum(resid, axis=-1, keepdims=True)
+                resid = jnp.where(rs > 1e-9, resid, p0)
+                key, k0 = jax.random.split(key)
+                a0w = jax.random.categorical(k0, jnp.log(resid + 1e-30))
+            a0 = (a0w + start).astype(jnp.int32)
+
+            # ---- draft: ingest a0 (clearing the stale tail), propose K
+            emb0 = draft_model.apply(
+                {"params": p_d}, a0[:, None], method=NekoModel.embed_tokens
+            )
+            dlog, dvars = draft_model.apply(
+                {"params": p_d, "cache": cache_d},
+                emb0, pos, pos, K + 1, S,
+                method=NekoModel.extend_step, mutable=["cache"],
+            )
+            cache_d = dvars["cache"]
+            qlast = dlog[:, -1]
+            props, qdists, qsel = [], [], []
+            for i in range(K):
+                qw = warp(qlast[:, start : end + 1])
+                qprob = jax.nn.softmax(qw, axis=-1)
+                if deterministic:
+                    tw = jnp.argmax(qw, axis=-1)
+                else:
+                    key, ki = jax.random.split(key)
+                    tw = jax.random.categorical(ki, qw, axis=-1)
+                ti = (tw + start).astype(jnp.int32)
+                props.append(ti)
+                qdists.append(qprob)
+                qsel.append(qprob[rows, tw])
+                embi = draft_model.apply(
+                    {"params": p_d}, ti[:, None],
+                    method=NekoModel.embed_tokens,
+                )
+                dlog, dvars = draft_model.apply(
+                    {"params": p_d, "cache": cache_d}, embi, pos + 1 + i,
+                    method=NekoModel.decode_step, mutable=["cache"],
+                )
+                cache_d = dvars["cache"]
+                qlast = dlog[:, 0]
+            props = jnp.stack(props, axis=1)        # [N, K]
+            qd = jnp.stack(qdists, axis=1)          # [N, K, W]
+            qs = jnp.stack(qsel, axis=1)            # [N, K]
+
+            # ---- target: verify the whole chunk in one extend
+            chunk = jnp.concatenate([a0[:, None], props], axis=1)
+            emb = self.model.apply(
+                {"params": p_t}, chunk, method=NekoModel.embed_tokens
+            )
+            logits, vars_ = self.model.apply(
+                {"params": p_t, "cache": cache},
+                emb, pos, pos, K + 1, S,
+                method=NekoModel.extend_step, mutable=["cache"],
+            )
+            cache = vars_["cache"]
+            win = logits[:, :, start : end + 1]     # [N, K+1, W]
+            if deterministic:
+                greedy = (
+                    jnp.argmax(win, axis=-1) + start
+                ).astype(jnp.int32)
+                ok = props == greedy[:, :K]
+            else:
+                P = jax.nn.softmax(warp(win[:, :K]), axis=-1)
+                pt = P[
+                    rows[:, None], jnp.arange(K)[None, :], props - start
+                ]
+                key, ku = jax.random.split(key)
+                u = jax.random.uniform(ku, (N, K))
+                ok = u * qs < pt                    # u < p/q, q > 0
+            m = jnp.argmin(jnp.concatenate(
+                [ok.astype(jnp.int32), jnp.zeros((N, 1), jnp.int32)], axis=1
+            ), axis=1)                              # [N]
+            if deterministic:
+                has_rej = jnp.zeros(N, bool)
+                q_rej = jnp.zeros((N, W), jnp.float32)
+            else:
+                has_rej = m < K
+                q_rej = jnp.where(
+                    has_rej[:, None],
+                    qd[rows, jnp.clip(m, 0, K - 1)], 0.0,
+                )
+            off = jnp.minimum(emitted, n_steps)[:, None] + kcol
+            out = out.at[rows[:, None], off].set(chunk)
+            adv = jnp.where(done, 0, m + 1)
+            return (
+                emitted + adv, cache, cache_d, logits[rows, m], pos + adv,
+                out, rounds + 1, key, has_rej, q_rej,
+            )
+
+        init = (jnp.zeros(N, jnp.int32), cache, cache_d, last_logits, pos,
+                out, jnp.int32(0), key, jnp.zeros(N, bool),
+                jnp.zeros((N, W), jnp.float32))
+        carry = jax.lax.while_loop(cond, body, init)
+        return carry[5][:, :n_steps], carry[6]
+
+    def generate_spec_draft(
+        self,
+        example: Dict,
+        draft: "Generator",
+        *,
+        max_new_tokens: int,
+        start: int,
+        end: int,
+        speculate_k: int = 4,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+    ) -> Tuple[np.ndarray, int]:
+        """LOSSLESS speculative decoding with a DRAFT MODEL (the classic
+        Leviathan/Chen scheme; `generate_spec` is the draft-free
+        prompt-lookup variant).  A small trained draft proposes K tokens
+        per round from its own KV cache; the big target verifies all K+1
+        in one bandwidth-bound extend_step.  Unlike prompt lookup, the
+        draft proposes from a real distribution, so the sampled-mode
+        acceptance is the full min(1, p/q) rule with the (p-q)+ residual
+        — marginals still match plain sampling exactly; greedy output is
+        bit-identical to plain greedy.  Works for any prompt modality
+        (no token-history requirement).  Speedup = draft acceptance rate
+        x (cheap draft step / expensive target step); the reference has
+        no speculative decoding (or serving) at all.
+
+        `draft` must share the target's token space and context length
+        (its width/depth are free — that's the point)."""
+        single = isinstance(example, dict)
+        examples = [example] if single else list(example)
+        dc, tc = draft.cfg, self.cfg
+        assert (
+            dc.text_tokens, dc.continuous_tokens, dc.discrete_tokens
+        ) == (tc.text_tokens, tc.continuous_tokens, tc.discrete_tokens), (
+            "draft and target must share the token space"
+        )
+        assert dc.context_len == tc.context_len, (
+            "draft and target must share context_len (one packer feeds "
+            "both caches)"
+        )
+        S = tc.context_len
+        K = int(speculate_k)
+        assert K >= 1
+        N = len(examples)
+        arrays = self.packer.pack_batch(examples, pad_side="right")
+        lengths = arrays.pop("lengths")
+        assert int(lengths.max()) + max_new_tokens + K + 1 <= S, (
+            "spec decode does not support context overflow"
+        )
+        batch = to_device_batch(arrays)
+        mask = np.zeros((N, S), bool)
+        for i, L in enumerate(lengths):
+            mask[i, :L] = True
+        mask = jnp.asarray(mask)
+        logits, cache = self._prefill(
+            self.params, self._embed_batch(self.params, batch), mask
+        )
+        _, cache_d = draft._prefill(
+            draft.params, draft._embed_batch(draft.params, batch), mask
+        )
+        pos = jnp.asarray(lengths, jnp.int32)
+        last = logits[jnp.arange(N), pos - 1]
+        temperature, top_k, top_p = _resolve_sampling(
+            self._default_sampling, temperature, top_k, top_p
+        )
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        toks, rounds = self._get_spec_draft(draft.model)(
+            self.params, draft.params, cache, cache_d, last, pos, rng,
+            n_steps=max_new_tokens, start=start, end=end, K=K,
+            deterministic=deterministic,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            use_top_p=top_p < 1.0,
+        )
+        toks = np.asarray(toks, np.int64)
+        return (toks[0], int(rounds)) if single else (toks, int(rounds))
 
     def _beam_scan_impl(
         self, params, cache, last_logits, pos, next_pos,

@@ -108,14 +108,22 @@ class NekoServer:
         max_beams: int = 8,
         continuous_slots: int = 0,
         continuous_chunk: int = 8,
+        draft_generator=None,
     ):
         """`continuous_slots` > 0 enables CONTINUOUS BATCHING for plain
         /v1/generate requests (no beams/speculative, top_k == 0): they
         join a running decode loop over a fixed slot pool instead of the
         coalescing worker — see serving/continuous.py.  Everything else
         (beams, speculative, top_k > 0, /v1/action) keeps the coalescing
-        path."""
+        path.
+
+        `draft_generator`: a second (smaller) Generator sharing the
+        target's token space enables DRAFT-MODEL speculative decoding —
+        {"speculative": true} then verifies real draft proposals instead
+        of prompt-lookup guesses ({"speculative": "lookup"} forces the
+        draft-free variant)."""
         self.gen = generator
+        self.draft = draft_generator
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.max_tokens = max_tokens
@@ -345,13 +353,32 @@ class NekoServer:
                     )
                 key = key + (want,)
             if payload.get("speculative"):
-                # lossless speculative decoding (generate_spec): greedy is
-                # bit-exact, sampled uses the distribution-preserving
-                # rejection rule — both valid to serve
+                # lossless speculative decoding: greedy is bit-exact,
+                # sampled uses the distribution-preserving rejection rule.
+                # Proposals come from the DRAFT MODEL when the server has
+                # one (generate_spec_draft), else prompt lookup
+                # (generate_spec); "lookup"/"draft" force a mode
                 if num_beams > 1:
                     raise ValueError("speculative excludes num_beams")
-                if "text" not in payload:
-                    raise ValueError("speculative needs a text prompt")
+                mode = payload["speculative"]
+                if mode not in (True, "lookup", "draft"):
+                    raise ValueError(
+                        "speculative must be true, 'lookup' or 'draft'"
+                    )
+                if mode == "draft" and self.draft is None:
+                    raise ValueError(
+                        "no draft model loaded (--draft_model_path)"
+                    )
+                spec_mode = (
+                    "draft"
+                    if mode == "draft"
+                    or (mode is True and self.draft is not None)
+                    else "lookup"
+                )
+                if spec_mode == "lookup" and "text" not in payload:
+                    raise ValueError(
+                        "prompt-lookup speculation needs a text prompt"
+                    )
                 pe = _example_from_payload(payload)
                 L = len(self.gen.packer.pack_example(pe).tokens)
                 spec_k = _opt(payload, "speculate_k", 4, int)
@@ -362,8 +389,8 @@ class NekoServer:
                         "speculative decode needs prompt + max_new_tokens "
                         "+ speculate_k + 1 <= context"
                     )
-                # batched generate_spec coalesces same-knob requests
-                key = ("spec", want, spec_k,
+                # batched spec decode coalesces same-knob requests
+                key = ("spec", spec_mode, want, spec_k,
                        bool(payload.get("deterministic", True)),
                        temperature, top_k, top_p)
             # continuous batching serves the plain-generate class: the
@@ -500,14 +527,24 @@ class NekoServer:
             }
 
     def _serve_spec(self, key, rs: List[_Pending]) -> None:
-        _, want, spec_k, det, temp, top_k, top_p = key
+        _, spec_mode, want, spec_k, det, temp, top_k, top_p = key
         ts = self.gen.cfg.token_space
         start, end = ts.start("text"), ts.end("text")
-        tokens, rounds = self.gen.generate_spec(
-            [_example_from_payload(r.payload) for r in rs],
-            max_new_tokens=want, start=start, end=end, speculate_k=spec_k,
-            deterministic=det, temperature=temp, top_k=top_k, top_p=top_p,
-        )
+        examples = [_example_from_payload(r.payload) for r in rs]
+        if spec_mode == "draft":
+            tokens, rounds = self.gen.generate_spec_draft(
+                examples, self.draft,
+                max_new_tokens=want, start=start, end=end,
+                speculate_k=spec_k, deterministic=det,
+                temperature=temp, top_k=top_k, top_p=top_p,
+            )
+        else:
+            tokens, rounds = self.gen.generate_spec(
+                examples,
+                max_new_tokens=want, start=start, end=end,
+                speculate_k=spec_k, deterministic=det,
+                temperature=temp, top_k=top_k, top_p=top_p,
+            )
         for i, r in enumerate(rs):
             ids = (tokens[i] - start).tolist()
             r.result = {
