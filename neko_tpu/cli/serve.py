@@ -82,13 +82,22 @@ def main(argv: Optional[list] = None) -> None:
                    help="checkpoint of a (smaller) draft model sharing the "
                         "token space: speculative requests then verify "
                         "real draft proposals (generate_spec_draft)")
+    p.add_argument("--self_draft_layers", type=int, default=None,
+                   help="draft = the target's own first N layers "
+                        "(Generator.truncated_draft — no second "
+                        "checkpoint); excludes --draft_model_path")
     cli = p.parse_args(argv)
 
     from neko_tpu.serving.server import NekoServer
 
     gen = build_generator(cli)
+    assert not (cli.draft_model_path and cli.self_draft_layers), (
+        "--draft_model_path and --self_draft_layers are exclusive"
+    )
     draft = (build_generator(cli, model_path=cli.draft_model_path)
              if cli.draft_model_path else None)
+    if cli.self_draft_layers:
+        draft = gen.truncated_draft(cli.self_draft_layers)
     server = NekoServer(
         gen, host=cli.host, port=cli.port,
         max_batch=cli.max_batch, batch_window_ms=cli.batch_window_ms,

@@ -982,6 +982,36 @@ class Generator:
         carry = jax.lax.while_loop(cond, body, init)
         return carry[5][:, :n_steps], carry[6]
 
+    def truncated_draft(self, n_layers: int) -> "Generator":
+        """Self-speculative draft: the target's FIRST n_layers blocks plus
+        its own embeddings, final LN and head — zero extra weights, zero
+        training (the early-exit analogue of the reference's `set_layers`
+        truncation, trajectory_gpt2.py:552-556).  Pass the result to
+        generate_spec_draft / NekoServer(draft_generator=...); acceptance
+        depends on how predictive the early layers are, but losslessness
+        never does.  Serve with `serve.py --self_draft_layers N`."""
+        import dataclasses
+
+        assert 1 <= n_layers < self.cfg.layers, (
+            f"need 1 <= n_layers < {self.cfg.layers}, got {n_layers}"
+        )
+        tf = self.params["transformer"]
+
+        def _keep(k: str) -> bool:
+            return not k.startswith("h_") or int(k[2:]) < n_layers
+
+        params_d = {
+            **self.params,
+            "transformer": {k: v for k, v in tf.items() if _keep(k)},
+        }
+        cfg_d = dataclasses.replace(self.cfg, layers=n_layers)
+        return Generator(
+            NekoModel(cfg_d), params_d, self.packer,
+            cast_params=False,  # already serve-cast (and maybe quantized)
+            weight_dtype="fp8" if self._wq else None,
+            mesh=self.mesh,
+        )
+
     def generate_spec_draft(
         self,
         example: Dict,

@@ -233,3 +233,32 @@ def test_served_draft_speculation(tgt, drf):
             "text": prompt, "max_new_tokens": 8, "speculative": "draft",
         })
         assert code == 400 and "draft" in body["error"]
+
+
+def test_truncated_self_draft_is_lossless(tgt):
+    """Layer-truncated self-draft (no extra weights): still lossless."""
+    ts = tgt.cfg.token_space
+    s, e = ts.start("text"), ts.end("text")
+    prompt = {"text": [5, 17, 99, 3, 42, 8]}
+    plain = _plain(tgt, prompt, 12, s, e)
+    draft = tgt.truncated_draft(1)
+    assert draft.cfg.layers == 1
+    toks, rounds = tgt.generate_spec_draft(
+        prompt, draft, max_new_tokens=12, start=s, end=e, speculate_k=3,
+    )
+    assert list(toks) == plain
+
+
+def test_truncated_draft_composes_with_fp8(tgt):
+    """truncated_draft of an fp8-serving target reuses the quantized
+    leaves; generation stays lossless within the fp8 engine."""
+    gen8 = Generator(tgt.model, tgt.params, tgt.packer, weight_dtype="fp8")
+    ts = tgt.cfg.token_space
+    s, e = ts.start("text"), ts.end("text")
+    prompt = {"text": [5, 17, 99, 3]}
+    plain = _plain(gen8, prompt, 10, s, e)
+    draft = gen8.truncated_draft(1)
+    toks, _ = gen8.generate_spec_draft(
+        prompt, draft, max_new_tokens=10, start=s, end=e, speculate_k=3,
+    )
+    assert list(toks) == plain

@@ -37,6 +37,14 @@ def main():
     p.add_argument("--gen", type=int, default=128)
     p.add_argument("--prompt_len", type=int, default=512)
     p.add_argument("--reps", type=int, default=11)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="restore a trained checkpoint instead of random "
+                        "init (draft acceptance is only meaningful on "
+                        "trained weights)")
+    p.add_argument("--draft_layers", type=int, default=0,
+                   help="> 0: ALSO benchmark draft-model speculation with "
+                        "the target's own first N layers as the draft "
+                        "(Generator.truncated_draft)")
     cli = p.parse_args()
 
     import jax
@@ -63,10 +71,23 @@ def main():
         [{"text": list(rng.randint(1, cfg.text_tokens, size=8))}]
     )
     init.pop("lengths")
-    params = model.init(
-        {"params": jax.random.key(0)}, to_device_batch(init)
-    )["params"]
+    if cli.model_path:
+        # trained weights: build from the checkpoint's own args (overrides
+        # the --config arch) — acceptance rates only mean something here
+        from neko_tpu.cli.build import (
+            build_context, load_state_for, resolve_checkpoint_and_args,
+        )
+
+        ckpt_path, args = resolve_checkpoint_and_args(cli.model_path, {})
+        ctx, _ = build_context(args, tasks=[])
+        state, packer = load_state_for(ctx, ckpt_path)
+        model, params, cfg = ctx.model, state.params, ctx.model_cfg
+    else:
+        params = model.init(
+            {"params": jax.random.key(0)}, to_device_batch(init)
+        )["params"]
     gen = Generator(model, params, packer)
+    draft = gen.truncated_draft(cli.draft_layers) if cli.draft_layers else None
     ts = cfg.token_space
     start, end = ts.start("text"), ts.end("text")
 
@@ -118,6 +139,31 @@ def main():
             "tokens_per_round": round(cli.gen / rounds, 2),
             "rounds": int(rounds),
         }
+
+        if draft is not None:
+            dspec, dr = gen.generate_spec_draft(
+                prompt, draft, max_new_tokens=cli.gen, start=start,
+                end=end, speculate_k=cli.k,
+            )  # compile
+            assert list(dspec) == list(np.asarray(plain)[0]), (
+                "draft lossless violated"
+            )
+            times = []
+            for _ in range(cli.reps):
+                t0 = time.perf_counter()
+                dspec, dr = gen.generate_spec_draft(
+                    prompt, draft, max_new_tokens=cli.gen, start=start,
+                    end=end, speculate_k=cli.k,
+                )
+                times.append(time.perf_counter() - t0)
+            d_s = float(np.median(times))
+            out[name]["draft"] = {
+                "layers": cli.draft_layers,
+                "tokens_per_sec": round(cli.gen / d_s, 1),
+                "speedup": round(plain_s / d_s, 3),
+                "tokens_per_round": round(cli.gen / dr, 2),
+                "rounds": int(dr),
+            }
     print(json.dumps(out))
 
 
