@@ -119,6 +119,18 @@ def main():
     )
     print(f"generate_spec -> {toks_spec.tolist()} in {rounds} rounds")
 
+    # draft-model speculation: a smaller model proposes, the target
+    # verifies (still lossless).  Here: the target's own first layer as a
+    # zero-training self-draft (serve.py --self_draft_layers)
+    if ctx.model_cfg.layers > 1:
+        draft = gen.truncated_draft(1)
+        toks_d, rounds_d = gen.generate_spec_draft(
+            {"text": prompt}, draft, max_new_tokens=8,
+            start=ts.start("text"), end=ts.end("text"), speculate_k=4,
+        )
+        print(f"generate_spec_draft -> {toks_d.tolist()} "
+              f"in {rounds_d} rounds")
+
     # ---- 4. live env rollout ----------------------------------------------
     from neko_tpu.envs.setup_env import load_env_dataset
     from neko_tpu.tasks.control import ControlTask
@@ -139,6 +151,25 @@ def main():
     gen8 = Generator(NekoModel(cfg8), state.params, packer)
     _, toks8 = gen8.predict_text({"text": prompt}, max_length=8)
     print(f"predict_text (int8 KV cache) -> {list(toks8)}")
+
+    # fp8 weight-only serving (eval.py/serve.py --serve_weight_dtype fp8):
+    # matmul kernels stored as e4m3 + per-channel scales, dequantized
+    # inside the decode loop — half the weight bytes per generated token
+    genf8 = Generator(ctx.model, state.params, packer, weight_dtype="fp8")
+    _, toksf8 = genf8.predict_text({"text": prompt}, max_length=8)
+    print(f"predict_text (fp8 weights) -> {list(toksf8)}")
+
+    # continuous batching (serve.py --continuous_slots): requests join a
+    # RUNNING decode loop; greedy outputs are token-identical to
+    # generate_batch.  Engine primitives shown directly:
+    st = gen.engine_init(2)
+    st = gen.engine_admit(st, 0, {"text": prompt})
+    ones = np.ones(2, np.float32)
+    toks_e, st = gen.engine_chunk(
+        st, n_steps=8, start=ts.start("text"), end=ts.end("text"),
+        det=np.ones(2, bool), temp=ones, top_p=ones,
+    )
+    print(f"continuous engine slot 0 -> {toks_e[0].tolist()}")
 
     # tensor-parallel serving spans a Mesh when multiple devices exist
     # (Generator(..., mesh=create_mesh(model=N)); eval.py --mesh_model_axis)
