@@ -81,6 +81,11 @@ class ModelConfig:
     heads: int = 24
     dropout: float = 0.1
     activation_fn: str = "gelu"  # 'gelu' or 'geglu'
+    # stochastic depth (drop-path): MAX residual-branch drop rate, ramped
+    # linearly over depth (layer 0 never drops).  Train-mode only; the
+    # reference lists this on its own wishlist (misc/todo.md "things to
+    # add: stochastic depth") but never built it.
+    stochastic_depth: float = 0.0
 
     # Token space.
     text_tokens: int = DEFAULT_TEXT_TOKENS

@@ -457,6 +457,23 @@ class Block(nn.Module):
     cfg: ModelConfig
     deterministic: bool = True
     mode: str = "train"
+    # stochastic-depth drop rate for THIS block (Transformer ramps it
+    # linearly over depth; reference wishlist misc/todo.md)
+    sd_rate: float = 0.0
+
+    def _residual(self, x, branch):
+        """x + branch, with per-EXAMPLE drop-path when training under
+        stochastic depth: the branch is zeroed for a random subset of the
+        batch and survivors are scaled by 1/keep so the expectation is
+        unchanged (Huang et al. 2016).  Each residual branch draws its
+        own mask."""
+        if self.deterministic or self.sd_rate <= 0.0:
+            return x + branch
+        keep_p = 1.0 - self.sd_rate
+        keep = jax.random.bernoulli(
+            self.make_rng("dropout"), keep_p, (branch.shape[0], 1, 1)
+        )
+        return x + jnp.where(keep, branch / keep_p, 0.0).astype(branch.dtype)
 
     @nn.compact
     def __call__(self, x, input_mask, decode_index=None, extend_clear=None):
@@ -465,19 +482,21 @@ class Block(nn.Module):
             epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
             name="ln_1",
         )(x)
-        x = x + Attention(cfg, name="attn")(
+        x = self._residual(x, Attention(cfg, name="attn")(
             h,
             input_mask,
             deterministic=self.deterministic,
             mode=self.mode,
             decode_index=decode_index,
             extend_clear=extend_clear,
-        )
+        ))
         h = nn.LayerNorm(
             epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
             name="ln_2",
         )(x)
-        x = x + MLP(cfg, name="mlp")(h, deterministic=self.deterministic)
+        x = self._residual(
+            x, MLP(cfg, name="mlp")(h, deterministic=self.deterministic)
+        )
         return x
 
 
@@ -502,8 +521,12 @@ class Transformer(nn.Module):
         if cfg.remat and mode == "train":
             block_cls = nn.remat(Block, prevent_cse=False)
         for i in range(cfg.layers):
+            # linear stochastic-depth ramp: layer 0 never drops, the last
+            # layer drops at the configured max rate
+            sd = cfg.stochastic_depth * i / max(cfg.layers - 1, 1)
             x = block_cls(
-                cfg, deterministic=deterministic, mode=mode, name=f"h_{i}"
+                cfg, deterministic=deterministic, mode=mode, sd_rate=sd,
+                name=f"h_{i}",
             )(x, input_mask, decode_index, extend_clear)
         x = nn.LayerNorm(
             epsilon=1e-5, dtype=cfg.activation_dtype, param_dtype=cfg.params_dtype,
