@@ -8,9 +8,13 @@ external dependencies, and double as CI fixtures and offline smoke-train
 datasets.
 
 Registered dataset names (usable in --control_datasets):
-    neko-synth-continuous-v0    Box(obs 8) / Box(act 2)
-    neko-synth-discrete-v0      Box(obs 4) / Discrete(4)
-    neko-synth-image-v0         Box(0..255, 16x16 grayscale) / Discrete(3)
+    neko-synth-continuous-v0     Box(obs 8) / Box(act 2)
+    neko-synth-discrete-v0       Box(obs 4) / Discrete(4)
+    neko-synth-image-v0          Box(0..255, 16x16 grayscale) / Discrete(3)
+    neko-synth-multidiscrete-v0  MultiDiscrete(obs [6,4,8]) /
+                                 MultiDiscrete(act [4,3]) — the space class
+                                 the reference never supported
+                                 (misc/todo.md "implement others")
 """
 
 from __future__ import annotations
@@ -92,6 +96,52 @@ class SyntheticDiscreteEnv(gym.Env):
         return self._state.copy(), reward, False, self._t >= self.horizon, {}
 
 
+class SyntheticMultiDiscreteEnv(gym.Env):
+    """MultiDiscrete obs AND action — the space class the reference never
+    supported (its SUPPORTED check covers Box/Discrete only,
+    control_task.py:53-71).  Expert: component j of the action is a fixed
+    affine hash of the observation mod nvec[j]; reward = fraction of
+    components matching the expert."""
+
+    def __init__(self, obs_nvec=(6, 4, 8), act_nvec=(4, 3),
+                 horizon: int = 32, seed: int = 0):
+        self.observation_space = gym.spaces.MultiDiscrete(list(obs_nvec))
+        self.action_space = gym.spaces.MultiDiscrete(list(act_nvec))
+        self.horizon = horizon
+        rng = np.random.RandomState(seed)
+        self._obs_nvec = np.asarray(obs_nvec, np.int64)
+        self._act_nvec = np.asarray(act_nvec, np.int64)
+        self._W = rng.randint(1, 7, size=(len(act_nvec), len(obs_nvec)))
+        self._t = 0
+        self._state = np.zeros(len(obs_nvec), np.int64)
+
+    def expert_action(self, obs) -> np.ndarray:
+        obs = np.asarray(obs, np.int64)
+        return ((self._W @ obs) + np.arange(len(self._act_nvec))) % (
+            self._act_nvec
+        )
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        super().reset(seed=seed)
+        self._t = 0
+        self._state = (
+            self.np_random.integers(0, self._obs_nvec)
+        ).astype(np.int64)
+        return self._state.copy(), {}
+
+    def step(self, action):
+        want = self.expert_action(self._state)
+        reward = float(np.mean(np.asarray(action, np.int64) == want))
+        # deterministic-ish drift keyed on the action so the expert is
+        # learnable from (obs -> action) pairs alone
+        self._state = (
+            self._state + 1 + np.asarray(action, np.int64)[
+                : len(self._state)].sum() % 3
+        ) % self._obs_nvec
+        self._t += 1
+        return self._state.copy(), reward, False, self._t >= self.horizon, {}
+
+
 class SyntheticImageEnv(gym.Env):
     """Grayscale-image obs (Atari-preprocessing-like HxW uint8); the expert
     action is encoded in a bright bar whose position the policy must read."""
@@ -167,6 +217,7 @@ SYNTHETIC_SPECS = {
     "neko-synth-continuous-v0": lambda kw: SyntheticContinuousEnv(**kw),
     "neko-synth-discrete-v0": lambda kw: SyntheticDiscreteEnv(**kw),
     "neko-synth-image-v0": lambda kw: SyntheticImageEnv(**kw),
+    "neko-synth-multidiscrete-v0": lambda kw: SyntheticMultiDiscreteEnv(**kw),
 }
 
 

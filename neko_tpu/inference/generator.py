@@ -357,8 +357,14 @@ class Generator:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        step_limits: Optional[Sequence[int]] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Generate tokens restricted to [start, end].
+
+        `step_limits`: optional per-STEP sub-range widths (len ==
+        max_new_tokens): step i may only select [start, start+limits[i]-1]
+        — MultiDiscrete action decoding, where each action token has its
+        own component range.
 
         Returns (token_ids [n], window_logits [n, end-start+1]).  Either pass
         `example` (packed here) or a precomputed (prompt_emb, prompt_len).
@@ -391,10 +397,15 @@ class Generator:
                     rng=rng,
                     inner_pos_continuation=inner_pos_continuation,
                     temperature=temperature, top_k=top_k, top_p=top_p,
+                    step_limits=step_limits,
                 )
                 return toks[0], windows[0]
         else:
             emb, L = prompt_emb, int(prompt_len)
+        assert step_limits is None, (
+            "step_limits is not supported on the exact-window overflow "
+            "path (control prompts always fit the context)"
+        )
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
 
@@ -464,6 +475,7 @@ class Generator:
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
+        step_limits: Optional[Sequence[int]] = None,
     ):
         """Generate for a batch of prompts in lockstep (right-padded prompts,
         per-row decode positions).  Returns (tokens [N, T], window_logits
@@ -500,10 +512,14 @@ class Generator:
         rows = jnp.arange(N)
         last_logits = logits[rows, pos - 1]  # [N, V]
 
+        if step_limits is not None:
+            assert len(step_limits) == max_new_tokens
         ys = self._decode_scan(
             self.params, cache, last_logits, pos,
             jnp.asarray(next_pos, jnp.int32), rng,
             None if targets is None else jnp.asarray(targets, jnp.int32),
+            None if step_limits is None
+            else jnp.asarray(step_limits, jnp.int32),
             n_steps=max_new_tokens, start=start, end=end,
             deterministic=deterministic, with_pos=inner_pos_continuation,
             return_logits=return_logits, ring=ring,
@@ -1164,6 +1180,7 @@ class Generator:
 
     def _decode_scan_impl(
         self, params, cache, last_logits, pos, next_pos, key, targets,
+        limits=None,
         *, n_steps, start, end, deterministic, with_pos, return_logits,
         return_cache=False, ring=False,
         temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
@@ -1188,10 +1205,17 @@ class Generator:
 
         def body(carry, x):
             cache, last_logits, pos, next_pos, key = carry
+            tgt = x.get("t") if x else None
+            lim = x.get("l") if x else None
             # fp8 serving: dequantize in-body (once per token; see _dq)
             p = self._dq(params)
             key, sub = jax.random.split(key)
             window = last_logits[:, start : end + 1]
+            if lim is not None:
+                # per-STEP legal sub-range (MultiDiscrete actions: token i
+                # of a timestep selects within its own component's nvec[i])
+                cols = jnp.arange(window.shape[-1])
+                window = jnp.where(cols[None, :] < lim, window, -jnp.inf)
             if deterministic:
                 tok = jnp.argmax(window, axis=-1)
             else:
@@ -1204,9 +1228,9 @@ class Generator:
             ys = [tok]
             if return_logits:
                 ys.append(window)
-            if x is not None:
+            if tgt is not None:
                 logz = jax.nn.logsumexp(window, axis=-1)
-                tl = jnp.take_along_axis(window, x[:, None], axis=-1)[:, 0]
+                tl = jnp.take_along_axis(window, tgt[:, None], axis=-1)[:, 0]
                 ys.append(logz - tl)
             if with_pos:
                 emb = self.model.apply(
@@ -1228,7 +1252,12 @@ class Generator:
             )
             return new_carry, tuple(ys)
 
-        xs = None if targets is None else jnp.swapaxes(targets, 0, 1)
+        xs = {}
+        if targets is not None:
+            xs["t"] = jnp.swapaxes(targets, 0, 1)
+        if limits is not None:
+            xs["l"] = jnp.asarray(limits, jnp.int32)  # [n_steps]
+        xs = xs or None
         carry = (cache, last_logits, pos, next_pos, key)
         carry, ys = jax.lax.scan(body, carry, xs, length=n_steps)
         # scan stacks on the leading axis -> move N first
@@ -1241,7 +1270,7 @@ class Generator:
         return out
 
     def _rollout_step_impl(
-        self, params, cache, small_batch, slot_start, key,
+        self, params, cache, small_batch, slot_start, key, limits=None,
         *, obs_sep_tokens, action_tokens, clear_len, buffer_len,
         sel_start, sel_end, deterministic,
         temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
@@ -1274,6 +1303,7 @@ class Generator:
         pos0 = slot_start + obs_sep_tokens
         tokens, cache = self._decode_scan_impl(
             params, cache, last_logits, pos0, jnp.zeros_like(pos0), key, None,
+            limits,
             n_steps=action_tokens, start=sel_start, end=sel_end,
             deterministic=deterministic, with_pos=False, return_logits=False,
             return_cache=True,
@@ -1461,20 +1491,38 @@ class Generator:
         action_kind: str,          # 'continuous' | 'discrete'
         action_tokens: int,
         num_actions: Optional[int] = None,  # |A| for discrete envs
+        action_nvec: Optional[Sequence[int]] = None,  # MultiDiscrete ranges
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
         top_p: Optional[float] = None,
     ):
-        """Predict one action for the last (action-padded) timestep."""
+        """Predict one action for the last (action-padded) timestep.
+
+        `action_nvec` (MultiDiscrete/MultiBinary envs — beyond the
+        reference, which supports Box and Discrete only,
+        control_task.py:53-71 + its own wishlist misc/todo.md): one
+        discrete token per component, token i restricted to its
+        component's [0, nvec[i]) range via per-step logit limits.
+        Returns an int for plain Discrete, an int array for
+        MultiDiscrete, a float array for Box."""
         ts = self.cfg.token_space
         start = ts.start(action_kind)
         end = ts.end(action_kind)
+        limits = None
         if action_kind == "discrete":
-            assert action_tokens == 1, "only 1 discrete action token supported"
-            assert num_actions is not None
-            end = start + num_actions - 1
+            if action_nvec is not None:
+                assert len(action_nvec) == action_tokens
+                assert max(action_nvec) <= ts.end("discrete") - start + 1
+                end = start + int(max(action_nvec)) - 1
+                limits = [int(n) for n in action_nvec]
+            else:
+                assert action_tokens == 1, (
+                    "multi-token discrete actions need action_nvec"
+                )
+                assert num_actions is not None
+                end = start + num_actions - 1
         tokens, _ = self.generate(
             example,
             max_new_tokens=action_tokens,
@@ -1484,8 +1532,11 @@ class Generator:
             drop_trailing=action_tokens,
             rng=rng,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            step_limits=limits,
         )
         if action_kind == "discrete":
+            if action_nvec is not None:
+                return np.asarray(tokens - start, np.int64)
             return int(tokens[0] - start)
         return decode_np(
             tokens.astype(np.int32),
@@ -1548,6 +1599,7 @@ class Generator:
         action_kind: str,
         action_tokens: int,
         num_actions: Optional[int] = None,
+        action_nvec: Optional[Sequence[int]] = None,
         deterministic: bool = True,
         rng: Optional[jax.Array] = None,
         temperature: Optional[float] = None,
@@ -1556,14 +1608,21 @@ class Generator:
     ):
         """predict_control for several env instances in lockstep.
 
-        Returns a list of actions (ints for discrete, float arrays for
-        continuous) — one per example."""
+        Returns a list of actions (ints for discrete, int arrays for
+        MultiDiscrete via `action_nvec`, float arrays for continuous) —
+        one per example."""
         ts = self.cfg.token_space
         start = ts.start(action_kind)
         end = ts.end(action_kind)
+        limits = None
         if action_kind == "discrete":
-            assert action_tokens == 1 and num_actions is not None
-            end = start + num_actions - 1
+            if action_nvec is not None:
+                assert len(action_nvec) == action_tokens
+                end = start + int(max(action_nvec)) - 1
+                limits = [int(n) for n in action_nvec]
+            else:
+                assert action_tokens == 1 and num_actions is not None
+                end = start + num_actions - 1
         tokens, _ = self.generate_batch(
             examples,
             max_new_tokens=action_tokens,
@@ -1573,8 +1632,11 @@ class Generator:
             drop_trailing=action_tokens,
             rng=rng,
             temperature=temperature, top_k=top_k, top_p=top_p,
+            step_limits=limits,
         )
         if action_kind == "discrete":
+            if action_nvec is not None:
+                return [np.asarray(t - start, np.int64) for t in tokens]
             return [int(t[0] - start) for t in tokens]
         return [
             decode_np(
@@ -1619,6 +1681,7 @@ class RolloutSession:
         action_tokens: int,
         action_kind: str,
         num_actions: Optional[int] = None,
+        action_nvec: Optional[Sequence[int]] = None,
         context_timesteps: int,
         patches_per_timestep: int = 0,
     ):
@@ -1630,6 +1693,9 @@ class RolloutSession:
         self.action_tokens = action_tokens
         self.action_kind = action_kind
         self.num_actions = num_actions
+        self.action_nvec = (
+            None if action_nvec is None else [int(n) for n in action_nvec]
+        )
         self.patches_per_timestep = patches_per_timestep
         self.tpt = obs_tokens + 1 + action_tokens
         self.L = context_timesteps * self.tpt
@@ -1640,8 +1706,12 @@ class RolloutSession:
         self.sel_start = ts.start(action_kind)
         self.sel_end = ts.end(action_kind)
         if action_kind == "discrete":
-            assert action_tokens == 1 and num_actions is not None
-            self.sel_end = self.sel_start + num_actions - 1
+            if self.action_nvec is not None:
+                assert len(self.action_nvec) == action_tokens
+                self.sel_end = self.sel_start + max(self.action_nvec) - 1
+            else:
+                assert action_tokens == 1 and num_actions is not None
+                self.sel_end = self.sel_start + num_actions - 1
         self._act_dtype = (
             np.float32 if action_kind == "continuous" else np.int32
         )
@@ -1719,6 +1789,8 @@ class RolloutSession:
         tokens, self.cache = self.g._rollout_step(
             self.g.params, self.cache, small,
             jnp.asarray(self.slot_start), rng,
+            None if self.action_nvec is None
+            else jnp.asarray(self.action_nvec, jnp.int32),
             obs_sep_tokens=self.obs_tokens + 1,
             action_tokens=self.action_tokens,
             clear_len=self.tpt,
@@ -1733,6 +1805,10 @@ class RolloutSession:
         tokens = np.asarray(tokens, np.int64)
         ts = self.cfg.token_space
         if self.action_kind == "discrete":
+            if self.action_nvec is not None:
+                return [
+                    np.asarray(t - self.sel_start, np.int64) for t in tokens
+                ]
             return [int(t[0] - self.sel_start) for t in tokens]
         return [
             decode_np(

@@ -31,7 +31,14 @@ from neko_tpu.data.episodes import EpisodeDataset
 from neko_tpu.inference.generator import Generator
 from neko_tpu.tasks.base import Task
 
-SUPPORTED_SPACES = (gym.spaces.Box, gym.spaces.Discrete)
+# Box + Discrete are the reference's whole space support
+# (control_task.py:53-71); MultiDiscrete/MultiBinary extend it — an item
+# on the reference's own wishlist (misc/todo.md "currently supporting Box
+# and Discrete spaces, implement others").
+SUPPORTED_SPACES = (
+    gym.spaces.Box, gym.spaces.Discrete,
+    gym.spaces.MultiDiscrete, gym.spaces.MultiBinary,
+)
 
 
 def tokens_per_space(space) -> int:
@@ -39,7 +46,20 @@ def tokens_per_space(space) -> int:
         return int(space.shape[0])
     if isinstance(space, gym.spaces.Discrete):
         return 1
+    if isinstance(space, gym.spaces.MultiDiscrete):
+        return int(len(space.nvec))
+    if isinstance(space, gym.spaces.MultiBinary):
+        return int(np.prod(space.shape))
     raise NotImplementedError(f"Unsupported space: {space}")
+
+
+def space_nvec(space):
+    """Per-component discrete ranges, or None for non-multi spaces."""
+    if isinstance(space, gym.spaces.MultiDiscrete):
+        return [int(n) for n in np.asarray(space.nvec).reshape(-1)]
+    if isinstance(space, gym.spaces.MultiBinary):
+        return [2] * int(np.prod(space.shape))
+    return None
 
 
 class ControlImageTransform:
@@ -127,6 +147,9 @@ class ControlTask(Task):
         self.num_actions = (
             int(act_space.n) if isinstance(act_space, gym.spaces.Discrete) else None
         )
+        # MultiDiscrete/MultiBinary actions: one token per component,
+        # each restricted to its own range at decode time
+        self.action_nvec = space_nvec(act_space)
 
         if self.obs_str == "images":
             t = self.image_transform
@@ -299,9 +322,18 @@ class ControlTask(Task):
             action_tokens=self.action_tokens,
             action_kind=self.action_kind,
             num_actions=self.num_actions,
+            action_nvec=self.action_nvec,
             context_timesteps=ctx_ts,
             patches_per_timestep=self.patches_per_timestep,
         )
+
+    def _env_action(self, action):
+        """Decoded action -> what env.step expects."""
+        if self.action_kind != "discrete":
+            return np.asarray(action, np.float32)
+        if self.action_nvec is not None:
+            return np.asarray(action, np.int64)
+        return int(action)
 
     def _sample_eval_prompt(self, generator: Generator) -> Dict:
         return self.sample_batch_configurable(
@@ -389,14 +421,12 @@ class ControlTask(Task):
                         action_kind=self.action_kind,
                         action_tokens=self.action_tokens,
                         num_actions=self.num_actions,
+                        action_nvec=self.action_nvec,
                         deterministic=deterministic,
                         rng=None,
                     )
                     act_hist[-1] = action
-                env_action = (
-                    int(action) if self.action_kind == "discrete"
-                    else np.asarray(action, np.float32)
-                )
+                env_action = self._env_action(action)
                 observation, reward, term, trunc, _ = self.env.step(env_action)
                 done = term or trunc
                 ep_return += reward
@@ -498,6 +528,7 @@ class ControlTask(Task):
                         action_kind=self.action_kind,
                         action_tokens=self.action_tokens,
                         num_actions=self.num_actions,
+                        action_nvec=self.action_nvec,
                         deterministic=deterministic,
                     )
                 for i in range(G):
@@ -505,10 +536,7 @@ class ControlTask(Task):
                         continue
                     if session is None:
                         act_hist[i][-1] = actions[i]
-                    env_action = (
-                        int(actions[i]) if self.action_kind == "discrete"
-                        else np.asarray(actions[i], np.float32)
-                    )
+                    env_action = self._env_action(actions[i])
                     o, reward, term, trunc, _ = envs[i].step(env_action)
                     obs[i] = o
                     done[i] = term or trunc
