@@ -6,6 +6,7 @@ The TPU-native counterpart of the reference's train.py:25-159 wiring
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Tuple
 
 import jax
@@ -223,12 +224,42 @@ def optimizer_config_from_args(args: TrainingArgs) -> OptimizerConfig:
     )
 
 
+def serving_max_patches(ckpt_path: str, args: TrainingArgs) -> int:
+    """Patch-pool size for a TASK-LESS (serving) restore.
+
+    A task-less build derives max_patches=0 when args leave it at -1, so
+    the restore target would LACK the image-embedder params an
+    image-trained checkpoint carries and Orbax refuses the restore.  The
+    checkpoint's own _METADATA tree says whether the embedder exists;
+    one full 256x256 image (the caption/VQA serving shape,
+    caption_task.py:70-73) is enough for predict_response — control
+    rollout sessions size their own per-step packers."""
+    if args.max_patches >= 0:
+        return args.max_patches
+    import json as _json
+
+    meta = os.path.join(ckpt_path, "_METADATA")
+    try:
+        with open(meta) as fh:
+            tree = _json.load(fh).get("tree_metadata", {})
+    except (OSError, ValueError):
+        return -1
+    if any("image_embedding" in k for k in tree):
+        return (256 // args.patch_size) ** 2
+    return -1
+
+
 def build_context(
-    args: TrainingArgs, tasks: Optional[List[Task]] = None
+    args: TrainingArgs,
+    tasks: Optional[List[Task]] = None,
+    ckpt_path: Optional[str] = None,
 ) -> Tuple[TrainContext, List[Task]]:
     select_platform(args)
     if tasks is None:
         tasks = build_tasks(args)
+    elif not tasks and ckpt_path is not None:
+        # serving restore with no tasks: size the pool from the checkpoint
+        args.max_patches = serving_max_patches(ckpt_path, args)
     max_patches = derive_max_patches(args, tasks)
     model_cfg = model_config_from_args(args, max_patches)
     opt_cfg = optimizer_config_from_args(args)

@@ -25,7 +25,7 @@ def build_generator(cli, model_path=None):
         model_path or cli.model_path,
         {k: getattr(cli, k, None) for k in ("cpu", "kv_cache_dtype")},
     )
-    ctx, _ = build_context(args, tasks=[])
+    ctx, _ = build_context(args, tasks=[], ckpt_path=ckpt_path)
     state, packer = load_state_for(ctx, ckpt_path)
     params = state.params
     if getattr(cli, "use_ema", False):

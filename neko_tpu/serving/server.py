@@ -408,16 +408,29 @@ class NekoServer:
                 raise ValueError("action_kind must be continuous|discrete")
             num_actions = _opt(payload, "num_actions", None,
                                int) if "num_actions" in payload else None
+            nvec = payload.get("action_nvec")
+            if nvec is not None:
+                nvec = tuple(int(n) for n in nvec)
             if action_kind == "discrete":
-                if num_actions is None:
-                    raise ValueError("discrete actions require num_actions")
-                if int(payload["action_tokens"]) != 1:
-                    raise ValueError("discrete actions use action_tokens=1")
+                if nvec is not None:
+                    # MultiDiscrete: one token per component, per-range
+                    # restricted decode (tests/test_multidiscrete.py)
+                    if int(payload["action_tokens"]) != len(nvec):
+                        raise ValueError(
+                            "action_tokens must equal len(action_nvec)"
+                        )
+                elif num_actions is None:
+                    raise ValueError("discrete actions require num_actions "
+                                     "or action_nvec")
+                elif int(payload["action_tokens"]) != 1:
+                    raise ValueError("discrete actions use action_tokens=1 "
+                                     "(MultiDiscrete needs action_nvec)")
             key = (
                 "action",
                 action_kind,
                 int(payload["action_tokens"]),
                 num_actions,
+                nvec,
                 bool(payload.get("deterministic", True)),
             )
         ex = _example_from_payload(payload)  # validate before queueing
@@ -554,7 +567,7 @@ class NekoServer:
             }
 
     def _serve_action(self, key, rs: List[_Pending]) -> None:
-        _, action_kind, action_tokens, num_actions, det = key
+        _, action_kind, action_tokens, num_actions, nvec, det = key
         examples = []
         for r in rs:
             ex = _example_from_payload(r.payload)
@@ -566,7 +579,7 @@ class NekoServer:
             examples.append(ex)
         actions = self.gen.predict_control_batch(
             examples, action_kind=action_kind, action_tokens=action_tokens,
-            num_actions=num_actions, deterministic=det,
+            num_actions=num_actions, action_nvec=nvec, deterministic=det,
         )
         for r, a in zip(rs, actions):
             r.result = {

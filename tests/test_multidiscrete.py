@@ -175,3 +175,30 @@ def test_multibinary_action_env():
     exs = task.sample_batch(2, {}, max_tokens=96)
     assert exs[0]["discrete_actions"].shape[1] == 3
     assert (exs[0]["discrete_actions"] < 2).all()
+
+
+def test_served_multidiscrete_action(setup):
+    """/v1/action with action_nvec: per-component-restricted action ids."""
+    import json
+    import urllib.request
+
+    from neko_tpu.serving.server import NekoServer
+
+    task, gen = setup
+    with NekoServer(gen, port=0) as srv:
+        host, port = srv.address[0], srv.address[1]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/action",
+            data=json.dumps({
+                "discrete_obs": [[3, 1, 5]],
+                "action_kind": "discrete",
+                "action_tokens": 2,
+                "action_nvec": [4, 3],
+            }).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        assert r.status == 200
+        a = body["action"]
+        assert len(a) == 2 and 0 <= a[0] < 4 and 0 <= a[1] < 3

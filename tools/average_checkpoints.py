@@ -52,7 +52,7 @@ def main() -> None:
     for c in cli.checkpoints:
         ckpt, args = resolve_checkpoint_and_args(c, {"cpu": True})
         if ctx is None:
-            ctx, _ = build_context(args, tasks=[])
+            ctx, _ = build_context(args, tasks=[], ckpt_path=ckpt)
             base_args = args
         state, _ = load_state_for(ctx, ckpt)
         states.append(state)

@@ -79,7 +79,7 @@ def main():
         )
 
         ckpt_path, args = resolve_checkpoint_and_args(cli.model_path, {})
-        ctx, _ = build_context(args, tasks=[])
+        ctx, _ = build_context(args, tasks=[], ckpt_path=ckpt_path)
         state, packer = load_state_for(ctx, ckpt_path)
         model, params, cfg = ctx.model, state.params, ctx.model_cfg
     else:

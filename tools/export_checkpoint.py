@@ -42,7 +42,7 @@ def main() -> None:
     from neko_tpu.models.export_reference import save_reference_checkpoint
 
     ckpt, args = resolve_checkpoint_and_args(cli.model_path, {"cpu": True})
-    ctx, _ = build_context(args, tasks=[])
+    ctx, _ = build_context(args, tasks=[], ckpt_path=ckpt)
     state, _ = load_state_for(ctx, ckpt)
 
     save_reference_checkpoint(
