@@ -180,6 +180,7 @@ def model_config_from_args(args: TrainingArgs, max_patches: int) -> ModelConfig:
         heads=heads,
         dropout=args.dropout,
         stochastic_depth=getattr(args, "stochastic_depth", 0.0),
+        observation_loss=getattr(args, "observation_loss", False),
         activation_fn=activation_fn,
         text_tokens=int(tok.vocab_size),
         continuous_tokens=args.continuous_tokens,

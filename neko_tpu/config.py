@@ -81,6 +81,13 @@ class ModelConfig:
     heads: int = 24
     dropout: float = 0.1
     activation_fn: str = "gelu"  # 'gelu' or 'geglu'
+    # observation-prediction loss: Gato (and the reference,
+    # gato_policy.py:301,312) mask observation tokens OUT of the loss;
+    # True additionally trains next-token CE on continuous/discrete obs
+    # tokens — the RoboCat recipe (predict future observations, e.g. VQ
+    # image codes) the reference's wishlist gestures at.  Images (patch
+    # embeddings) are never targets — they are not tokens.
+    observation_loss: bool = False
     # stochastic depth (drop-path): MAX residual-branch drop rate, ramped
     # linearly over depth (layer 0 never drops).  Train-mode only; the
     # reference lists this on its own wishlist (misc/todo.md "things to

@@ -158,6 +158,10 @@ class SequencePacker:
             parts_target.append(np.ones_like(text, dtype=bool))
             n_obs_tokens += text.shape[1]
 
+        # obs tokens are non-targets in the reference (gato_policy.py:
+        # 301,312); cfg.observation_loss=True trains on them too (the
+        # RoboCat observation-prediction recipe)
+        obs_tgt = bool(cfg.observation_loss)
         if cont_obs is not None:
             cont_obs = np.asarray(cont_obs, dtype=np.float32)
             toks = encode_np(
@@ -170,7 +174,7 @@ class SequencePacker:
             )
             _check_T(toks.shape[0])
             parts_tokens.append(toks)
-            parts_target.append(np.zeros_like(toks, dtype=bool))
+            parts_target.append(np.full_like(toks, obs_tgt, dtype=bool))
             n_obs_tokens += toks.shape[1]
 
         if disc_obs is not None:
@@ -180,7 +184,7 @@ class SequencePacker:
             toks = disc_obs + ts.discrete_start
             _check_T(toks.shape[0])
             parts_tokens.append(toks)
-            parts_target.append(np.zeros_like(toks, dtype=bool))
+            parts_target.append(np.full_like(toks, obs_tgt, dtype=bool))
             n_obs_tokens += toks.shape[1]
 
         # T may also be determined by action-only examples (reference derives
@@ -271,6 +275,10 @@ class SequencePacker:
         data-loader hot path); bit-parity with the numpy route is tested."""
         from neko_tpu import native
 
+        if self.cfg.observation_loss:
+            # the C kernel hard-codes the reference's obs-not-target rule;
+            # the numpy route handles the RoboCat variant
+            return None
         L = native.lib()
         if L is None:
             return None

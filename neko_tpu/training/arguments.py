@@ -62,6 +62,7 @@ class TrainingArgs:
     batch_size: int = field(default=512)
     dropout: float = field(default=0.1)
     stochastic_depth: float = field(default=0.0, metadata={"help": "Max residual drop-path rate, ramped linearly over depth (train only). TPU extension; on the reference's own wishlist (misc/todo.md)."})
+    observation_loss: bool = field(default=False, metadata={"help": "Also train next-token CE on observation tokens (RoboCat-style observation prediction, e.g. VQ image codes). Default False = the reference's obs-masked loss."})
     beta_1: float = field(default=0.9)
     beta_2: float = field(default=0.95)
     adam_eps: float = field(default=1e-8)

@@ -143,7 +143,17 @@ class Trainer:
         budget = n_text * (S - 1)
         if self.control_tasks:
             budget += n_control * max(
-                t.context_timesteps * t.action_tokens for t in self.control_tasks
+                t.context_timesteps * (
+                    t.action_tokens
+                    # --observation_loss: obs tokens are targets too
+                    # (RoboCat recipe); the first obs token of a timestep
+                    # is predicted from the previous SEP/action position,
+                    # so every obs token counts
+                    + (t.observation_tokens
+                       if getattr(self.args, "observation_loss", False)
+                       else 0)
+                )
+                for t in self.control_tasks
             )
         for tasks, n in ((self.caption_tasks, n_caption), (self.vqa_tasks, n_vqa)):
             if tasks:
