@@ -15,6 +15,8 @@ Registered dataset names (usable in --control_datasets):
                                  MultiDiscrete(act [4,3]) — the space class
                                  the reference never supported
                                  (misc/todo.md "implement others")
+    neko-synth-text-v0           Text obs / Text action echo task
+                                 (the wishlist's "like spaces.Text")
 """
 
 from __future__ import annotations
@@ -142,6 +144,54 @@ class SyntheticMultiDiscreteEnv(gym.Env):
         return self._state.copy(), reward, False, self._t >= self.horizon, {}
 
 
+class SyntheticTextEnv(gym.Env):
+    """Text obs AND action (gym.spaces.Text) — echo task: the expert action
+    repeats the observed word.  Covers the wishlist's 'like spaces.Text'
+    (misc/todo.md); reward = fraction of character positions matched."""
+
+    def __init__(self, charset: str = "abcde", max_length: int = 4,
+                 horizon: int = 16, seed: int = 0):
+        self.observation_space = gym.spaces.Text(
+            max_length=max_length, min_length=1, charset=charset
+        )
+        self.action_space = gym.spaces.Text(
+            max_length=max_length, min_length=1, charset=charset
+        )
+        self._chars = self.observation_space.characters
+        self.max_length = max_length
+        self.horizon = horizon
+        self._t = 0
+        self._word = self._chars[0]
+
+    def _new_word(self) -> str:
+        n = int(self.np_random.integers(1, self.max_length + 1))
+        return "".join(
+            self._chars[int(i)]
+            for i in self.np_random.integers(0, len(self._chars), size=n)
+        )
+
+    def expert_action(self, obs=None) -> str:
+        return self._word
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        super().reset(seed=seed)
+        self._t = 0
+        self._word = self._new_word()
+        return self._word, {}
+
+    def step(self, action):
+        action = str(action)
+        want = self._word
+        L = max(len(want), len(action), 1)
+        matched = sum(
+            1 for a, b in zip(action.ljust(L), want.ljust(L)) if a == b
+        )
+        reward = matched / L
+        self._word = self._new_word()
+        self._t += 1
+        return self._word, reward, False, self._t >= self.horizon, {}
+
+
 class SyntheticImageEnv(gym.Env):
     """Grayscale-image obs (Atari-preprocessing-like HxW uint8); the expert
     action is encoded in a bright bar whose position the policy must read."""
@@ -218,6 +268,7 @@ SYNTHETIC_SPECS = {
     "neko-synth-discrete-v0": lambda kw: SyntheticDiscreteEnv(**kw),
     "neko-synth-image-v0": lambda kw: SyntheticImageEnv(**kw),
     "neko-synth-multidiscrete-v0": lambda kw: SyntheticMultiDiscreteEnv(**kw),
+    "neko-synth-text-v0": lambda kw: SyntheticTextEnv(**kw),
 }
 
 

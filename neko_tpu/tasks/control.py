@@ -32,12 +32,13 @@ from neko_tpu.inference.generator import Generator
 from neko_tpu.tasks.base import Task
 
 # Box + Discrete are the reference's whole space support
-# (control_task.py:53-71); MultiDiscrete/MultiBinary extend it — an item
-# on the reference's own wishlist (misc/todo.md "currently supporting Box
-# and Discrete spaces, implement others").
+# (control_task.py:53-71); MultiDiscrete/MultiBinary/Text extend it — an
+# item on the reference's own wishlist (misc/todo.md "currently supporting
+# Box and Discrete spaces, implement others ... like spaces.Text").
 SUPPORTED_SPACES = (
     gym.spaces.Box, gym.spaces.Discrete,
     gym.spaces.MultiDiscrete, gym.spaces.MultiBinary,
+    gym.spaces.Text,
 )
 
 
@@ -50,6 +51,8 @@ def tokens_per_space(space) -> int:
         return int(len(space.nvec))
     if isinstance(space, gym.spaces.MultiBinary):
         return int(np.prod(space.shape))
+    if isinstance(space, gym.spaces.Text):
+        return int(space.max_length)
     raise NotImplementedError(f"Unsupported space: {space}")
 
 
@@ -59,7 +62,34 @@ def space_nvec(space):
         return [int(n) for n in np.asarray(space.nvec).reshape(-1)]
     if isinstance(space, gym.spaces.MultiBinary):
         return [2] * int(np.prod(space.shape))
+    if isinstance(space, gym.spaces.Text):
+        # one slot per character; index 0 = padding for strings shorter
+        # than max_length, 1..len(charset) = space.characters (sorted)
+        return [len(space.characters) + 1] * int(space.max_length)
     return None
+
+
+def encode_text(space: "gym.spaces.Text", strings) -> np.ndarray:
+    """[T] strings -> [T, max_length] int32 (0 = pad, i+1 = characters[i])."""
+    chars = space.characters
+    index = {c: i + 1 for i, c in enumerate(chars)}
+    out = np.zeros((len(strings), int(space.max_length)), np.int32)
+    for t, s in enumerate(strings):
+        for j, ch in enumerate(str(s)[: int(space.max_length)]):
+            out[t, j] = index[ch]
+    return out
+
+
+def decode_text(space: "gym.spaces.Text", indices) -> str:
+    """[max_length] component indices -> string (pads stripped, min_length
+    enforced with the charset's first character so env.contains holds)."""
+    chars = space.characters
+    s = "".join(
+        chars[int(i) - 1] for i in np.asarray(indices).reshape(-1) if int(i) > 0
+    )
+    if len(s) < int(space.min_length):
+        s = s + chars[0] * (int(space.min_length) - len(s))
+    return s
 
 
 class ControlImageTransform:
@@ -130,13 +160,17 @@ class ControlTask(Task):
         assert isinstance(act_space, SUPPORTED_SPACES), f"unsupported {act_space}"
         assert isinstance(obs_space, SUPPORTED_SPACES), f"unsupported {obs_space}"
 
-        # observation modality (control_task.py:53-65)
+        # observation modality (control_task.py:53-65); Text obs become
+        # per-character discrete tokens (pad index 0)
         if isinstance(obs_space, gym.spaces.Box):
             self.obs_str = "images" if len(obs_space.shape) in (2, 3) else "continuous_obs"
         else:
             self.obs_str = "discrete_obs"
         self.image_transform = (
             ControlImageTransform(env, patch_size) if self.obs_str == "images" else None
+        )
+        self.text_obs_space = (
+            obs_space if isinstance(obs_space, gym.spaces.Text) else None
         )
 
         self.action_kind = (
@@ -147,9 +181,12 @@ class ControlTask(Task):
         self.num_actions = (
             int(act_space.n) if isinstance(act_space, gym.spaces.Discrete) else None
         )
-        # MultiDiscrete/MultiBinary actions: one token per component,
+        # MultiDiscrete/MultiBinary/Text actions: one token per component,
         # each restricted to its own range at decode time
         self.action_nvec = space_nvec(act_space)
+        self.text_action_space = (
+            act_space if isinstance(act_space, gym.spaces.Text) else None
+        )
 
         if self.obs_str == "images":
             t = self.image_transform
@@ -193,11 +230,15 @@ class ControlTask(Task):
     def _obs_array(self, observations: np.ndarray) -> np.ndarray:
         if self.image_transform is not None:
             return self.image_transform.transform(observations)
+        if self.text_obs_space is not None:
+            return encode_text(self.text_obs_space, list(observations))
         if self.obs_str == "discrete_obs":
             return np.asarray(observations, np.int32)
         return np.asarray(observations, np.float32)
 
     def _act_array(self, actions: np.ndarray) -> np.ndarray:
+        if self.text_action_space is not None:
+            return encode_text(self.text_action_space, list(actions))
         if self.action_kind == "continuous":
             a = np.asarray(actions, np.float32)
         else:
@@ -331,6 +372,8 @@ class ControlTask(Task):
         """Decoded action -> what env.step expects."""
         if self.action_kind != "discrete":
             return np.asarray(action, np.float32)
+        if self.text_action_space is not None:
+            return decode_text(self.text_action_space, action)
         if self.action_nvec is not None:
             return np.asarray(action, np.int64)
         return int(action)

@@ -52,12 +52,16 @@ def get_text_tokenizer(model_name: str = "gpt2"):
         return _CACHE[model_name]
     tok = None
     try:
+        import os
+
         from transformers import AutoTokenizer
 
         try:
             # avoid minutes of network retries in offline environments
             tok = AutoTokenizer.from_pretrained(model_name, local_files_only=True)
         except Exception:
+            if os.environ.get("HF_HUB_OFFLINE") == "1":
+                raise  # no cache and no network allowed: byte fallback
             tok = AutoTokenizer.from_pretrained(model_name)
         tok.is_fallback = False
     except Exception:
