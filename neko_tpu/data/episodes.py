@@ -21,13 +21,28 @@ import numpy as np
 
 @dataclasses.dataclass
 class Episode:
-    observations: np.ndarray  # [T(+1), ...] (minari stores T+1 obs)
-    actions: np.ndarray       # [T, ...]
+    observations: np.ndarray  # [T(+1), ...], or dict[str, array] for
+    actions: np.ndarray       # Dict/Tuple obs spaces; [T, ...]
     rewards: np.ndarray       # [T]
 
     @property
     def total_timesteps(self) -> int:
         return int(self.actions.shape[0])
+
+
+def slice_obs(obs, start: int, end: int):
+    """observations[start:end], dict-aware (Dict/Tuple obs spaces store a
+    dict of per-component arrays sharing the leading time dim)."""
+    if isinstance(obs, dict):
+        return {k: v[start:end] for k, v in obs.items()}
+    return obs[start:end]
+
+
+def concat_obs(a, b):
+    """Time-axis concatenation, dict-aware."""
+    if isinstance(a, dict):
+        return {k: np.concatenate([a[k], b[k]], axis=0) for k in a}
+    return np.concatenate([a, b], axis=0)
 
 
 class EpisodeDataset:
@@ -103,9 +118,16 @@ class H5EpisodeDataset(EpisodeDataset):
         return self._n
 
     def get_episode(self, idx: int) -> Episode:
+        import h5py
+
         g = self._file[f"episode_{idx}"]
+        obs = g["observations"]
+        if isinstance(obs, h5py.Group):  # Dict obs space: one dataset per key
+            obs = {k: np.asarray(v) for k, v in obs.items()}
+        else:
+            obs = np.asarray(obs)
         return Episode(
-            observations=np.asarray(g["observations"]),
+            observations=obs,
             actions=np.asarray(g["actions"]),
             rewards=np.asarray(g["rewards"]),
         )
@@ -126,7 +148,12 @@ def save_h5(
             f.attrs["env_id"] = env_id
         for i, ep in enumerate(episodes):
             g = f.create_group(f"episode_{i}")
-            g.create_dataset("observations", data=ep.observations)
+            if isinstance(ep.observations, dict):
+                og = g.create_group("observations")
+                for k, v in ep.observations.items():
+                    og.create_dataset(k, data=v)
+            else:
+                g.create_dataset("observations", data=ep.observations)
             g.create_dataset("actions", data=ep.actions)
             g.create_dataset("rewards", data=ep.rewards)
 
@@ -148,8 +175,13 @@ class MinariEpisodeDataset(EpisodeDataset):
 
     def get_episode(self, idx: int) -> Episode:
         ep = list(self._ds.iterate_episodes([int(self._indices[idx])]))[0]
+        obs = ep.observations
+        obs = (
+            {k: np.asarray(v) for k, v in obs.items()}
+            if isinstance(obs, dict) else np.asarray(obs)
+        )
         return Episode(
-            observations=np.asarray(ep.observations),
+            observations=obs,
             actions=np.asarray(ep.actions),
             rewards=np.asarray(ep.rewards),
         )

@@ -17,6 +17,9 @@ Registered dataset names (usable in --control_datasets):
                                  (misc/todo.md "implement others")
     neko-synth-text-v0           Text obs / Text action echo task
                                  (the wishlist's "like spaces.Text")
+    neko-synth-dict-v0           Dict obs {image 16x16, state vec} /
+                                 Discrete(3) — Gato-style camera +
+                                 proprioception in one timestep
 """
 
 from __future__ import annotations
@@ -227,6 +230,61 @@ class SyntheticImageEnv(gym.Env):
         return self._render_obs(), reward, False, self._t >= self.horizon, {}
 
 
+class SyntheticDictEnv(gym.Env):
+    """Dict observation space: camera image + proprioceptive state vector —
+    the robotics combination Gato itself trains on but the reference cannot
+    represent (obs classification is single-space, control_task.py:53-65).
+    The expert action needs BOTH components: the image shows a bright band
+    at index b, the state vector's first entry carries a shift s in
+    {0, 1}, expert = (b + s) % n_actions."""
+
+    def __init__(self, size: int = 16, n_actions: int = 3, state_dim: int = 4,
+                 horizon: int = 16, seed: int = 0):
+        self.observation_space = gym.spaces.Dict(
+            {
+                "image": gym.spaces.Box(0, 255, (size, size), np.uint8),
+                "state": gym.spaces.Box(-np.inf, np.inf, (state_dim,),
+                                        np.float32),
+            }
+        )
+        self.action_space = gym.spaces.Discrete(n_actions)
+        self.size = size
+        self.n_actions = n_actions
+        self.state_dim = state_dim
+        self.horizon = horizon
+        self._t = 0
+        self._band = 0
+        self._state = np.zeros(state_dim, np.float32)
+
+    def _obs(self):
+        img = np.zeros((self.size, self.size), np.uint8)
+        band = self.size // self.n_actions
+        img[:, self._band * band : (self._band + 1) * band] = 255
+        return {"image": img, "state": self._state.copy()}
+
+    def _randomize(self):
+        self._band = int(self.np_random.integers(self.n_actions))
+        self._state = self.np_random.standard_normal(
+            self.state_dim
+        ).astype(np.float32)
+
+    def expert_action(self, obs=None) -> int:
+        shift = 1 if self._state[0] > 0 else 0
+        return (self._band + shift) % self.n_actions
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        super().reset(seed=seed)
+        self._t = 0
+        self._randomize()
+        return self._obs(), {}
+
+    def step(self, action):
+        reward = float(int(action) == self.expert_action())
+        self._randomize()
+        self._t += 1
+        return self._obs(), reward, False, self._t >= self.horizon, {}
+
+
 def collect_expert_dataset(
     env: gym.Env,
     n_episodes: int = 32,
@@ -253,9 +311,16 @@ def collect_expert_dataset(
             actions.append(np.asarray(a))
             rewards.append(r)
             done = term or trunc
+        if isinstance(observations[0], dict):  # Dict obs space
+            obs_arr = {
+                k: np.asarray([o[k] for o in observations])
+                for k in observations[0]
+            }
+        else:
+            obs_arr = np.asarray(observations)
         episodes.append(
             Episode(
-                observations=np.asarray(observations),
+                observations=obs_arr,
                 actions=np.asarray(actions),
                 rewards=np.asarray(rewards, np.float32),
             )
@@ -269,6 +334,7 @@ SYNTHETIC_SPECS = {
     "neko-synth-image-v0": lambda kw: SyntheticImageEnv(**kw),
     "neko-synth-multidiscrete-v0": lambda kw: SyntheticMultiDiscreteEnv(**kw),
     "neko-synth-text-v0": lambda kw: SyntheticTextEnv(**kw),
+    "neko-synth-dict-v0": lambda kw: SyntheticDictEnv(**kw),
 }
 
 

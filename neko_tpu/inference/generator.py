@@ -1675,8 +1675,8 @@ class RolloutSession:
         self,
         generator: Generator,
         *,
-        obs_str: str,
-        action_str: str,
+        obs_str: Optional[str],  # None for Dict/Tuple obs (dict entries
+        action_str: str,         # passed to step() directly)
         obs_tokens: int,
         action_tokens: int,
         action_kind: str,
@@ -1759,21 +1759,22 @@ class RolloutSession:
         top_p: Optional[float] = None,
     ) -> List:
         """One env step for every row.  `observations` holds one
-        already-transformed SINGLE-TIMESTEP obs array per row (leading dim 1,
-        e.g. task._obs_array(raw_obs[None])).  Returns decoded actions (ints
-        for discrete, float arrays for continuous)."""
+        already-transformed SINGLE-TIMESTEP obs per row: an array with
+        leading dim 1 (e.g. task._obs_array(raw_obs[None])), or a dict of
+        packer modality entries for Dict/Tuple obs spaces
+        (task._obs_entries).  Returns decoded actions (ints for discrete,
+        float arrays for continuous)."""
         assert self.cache is not None, "call start() first"
         temperature, top_k, top_p = _resolve_sampling(
             self.g._default_sampling, temperature, top_k, top_p
         )
         B = len(observations)
+        zeros_act = lambda: np.zeros(  # noqa: E731
+            (1, self.action_tokens), self._act_dtype
+        )
         examples = [
-            {
-                self.obs_str: obs,
-                self.action_str: np.zeros(
-                    (1, self.action_tokens), self._act_dtype
-                ),
-            }
+            {**obs, self.action_str: zeros_act()} if isinstance(obs, dict)
+            else {self.obs_str: obs, self.action_str: zeros_act()}
             for obs in observations
         ]
         arrays = self.g.packer.pack_batch(

@@ -27,7 +27,7 @@ from typing import Dict, List, Optional
 import gymnasium as gym
 import numpy as np
 
-from neko_tpu.data.episodes import EpisodeDataset
+from neko_tpu.data.episodes import EpisodeDataset, concat_obs, slice_obs
 from neko_tpu.inference.generator import Generator
 from neko_tpu.tasks.base import Task
 
@@ -97,10 +97,11 @@ class ControlImageTransform:
 
     Reference ControlImageTransform (control_task.py:345-389) works in CHW
     for torch; the TPU packer consumes HWC (NHWC is the TPU conv layout).
+    Accepts an env or a Box space directly (Dict obs sub-components).
     """
 
     def __init__(self, env, patch_size: int = 16):
-        space = env.observation_space
+        space = getattr(env, "observation_space", env)
         assert isinstance(space, gym.spaces.Box)
         assert len(space.shape) in (2, 3)
         self.patch_size = patch_size
@@ -136,6 +137,93 @@ class ControlImageTransform:
         return images
 
 
+class DictObsCodec:
+    """Maps a Dict/Tuple observation space onto the packer's per-timestep
+    modality slots — the Gato-paper setup (camera image + proprioception in
+    ONE timestep) that the reference's single-space obs classification
+    cannot represent (control_task.py:53-65).
+
+    Components are grouped into the packer's canonical interleave order
+    [image | continuous_obs | discrete_obs] (data/packing.py): at most one
+    image Box; all 1-D Boxes concatenate (sorted by key) into
+    continuous_obs; Discrete/MultiDiscrete/MultiBinary/Text concatenate
+    into discrete_obs."""
+
+    def __init__(self, space, patch_size: int = 16):
+        if isinstance(space, gym.spaces.Tuple):
+            items = [(str(i), s) for i, s in enumerate(space.spaces)]
+        else:
+            items = sorted(space.spaces.items())
+        self.image_key = None
+        self.image_transform = None
+        self.cont_items = []
+        self.disc_items = []
+        for k, s in items:
+            if isinstance(s, gym.spaces.Box) and len(s.shape) in (2, 3):
+                assert self.image_key is None, (
+                    "at most one image component per Dict obs space"
+                )
+                self.image_key = k
+                self.image_transform = ControlImageTransform(s, patch_size)
+            elif isinstance(s, gym.spaces.Box):
+                assert len(s.shape) == 1, f"unsupported Box shape {s.shape}"
+                self.cont_items.append((k, int(s.shape[0])))
+            elif isinstance(s, SUPPORTED_SPACES):
+                self.disc_items.append((k, s))
+            else:
+                raise NotImplementedError(f"unsupported Dict component {s}")
+        t = self.image_transform
+        self.patches_per_timestep = (
+            0 if t is None
+            else (t.out_height // patch_size) * (t.out_width // patch_size)
+        )
+        self.cont_tokens = sum(n for _, n in self.cont_items)
+        self.disc_tokens = sum(tokens_per_space(s) for _, s in self.disc_items)
+        self.obs_tokens = (
+            self.patches_per_timestep + self.cont_tokens + self.disc_tokens
+        )
+        self.entry_keys = []
+        if self.image_key is not None:
+            self.entry_keys.append("images")
+        if self.cont_items:
+            self.entry_keys.append("continuous_obs")
+        if self.disc_items:
+            self.entry_keys.append("discrete_obs")
+
+    def _disc_component(self, s, v, T: int) -> np.ndarray:
+        if isinstance(s, gym.spaces.Text):
+            return encode_text(s, list(v))
+        return np.asarray(v, np.int32).reshape(T, -1)
+
+    def encode(self, obs: Dict) -> Dict[str, np.ndarray]:
+        """{component key: [T, ...]} -> packer modality entries."""
+        T = len(next(iter(obs.values())))
+        out: Dict[str, np.ndarray] = {}
+        if self.image_key is not None:
+            out["images"] = self.image_transform.transform(obs[self.image_key])
+        if self.cont_items:
+            out["continuous_obs"] = np.concatenate(
+                [
+                    np.asarray(obs[k], np.float32).reshape(T, -1)
+                    for k, _ in self.cont_items
+                ],
+                axis=1,
+            )
+        if self.disc_items:
+            out["discrete_obs"] = np.concatenate(
+                [self._disc_component(s, obs[k], T) for k, s in self.disc_items],
+                axis=1,
+            )
+        return out
+
+
+def _obs_tail(h, n: int):
+    """history[-n:], dict-aware (packer-entry histories)."""
+    if isinstance(h, dict):
+        return {k: v[-n:] for k, v in h.items()}
+    return h[-n:]
+
+
 class ControlTask(Task):
     def __init__(
         self,
@@ -158,11 +246,21 @@ class ControlTask(Task):
 
         act_space, obs_space = env.action_space, env.observation_space
         assert isinstance(act_space, SUPPORTED_SPACES), f"unsupported {act_space}"
-        assert isinstance(obs_space, SUPPORTED_SPACES), f"unsupported {obs_space}"
+        assert isinstance(
+            obs_space, SUPPORTED_SPACES + (gym.spaces.Dict, gym.spaces.Tuple)
+        ), f"unsupported {obs_space}"
 
         # observation modality (control_task.py:53-65); Text obs become
-        # per-character discrete tokens (pad index 0)
-        if isinstance(obs_space, gym.spaces.Box):
+        # per-character discrete tokens (pad index 0); Dict/Tuple obs map
+        # to multiple packer modalities in one timestep (DictObsCodec)
+        self.dict_obs = (
+            DictObsCodec(obs_space, patch_size)
+            if isinstance(obs_space, (gym.spaces.Dict, gym.spaces.Tuple))
+            else None
+        )
+        if self.dict_obs is not None:
+            self.obs_str = None
+        elif isinstance(obs_space, gym.spaces.Box):
             self.obs_str = "images" if len(obs_space.shape) in (2, 3) else "continuous_obs"
         else:
             self.obs_str = "discrete_obs"
@@ -171,6 +269,10 @@ class ControlTask(Task):
         )
         self.text_obs_space = (
             obs_space if isinstance(obs_space, gym.spaces.Text) else None
+        )
+        self.obs_entry_keys = (
+            self.dict_obs.entry_keys if self.dict_obs is not None
+            else [self.obs_str]
         )
 
         self.action_kind = (
@@ -188,7 +290,10 @@ class ControlTask(Task):
             act_space if isinstance(act_space, gym.spaces.Text) else None
         )
 
-        if self.obs_str == "images":
+        if self.dict_obs is not None:
+            self.patches_per_timestep = self.dict_obs.patches_per_timestep
+            self.observation_tokens = self.dict_obs.obs_tokens
+        elif self.obs_str == "images":
             t = self.image_transform
             self.patches_per_timestep = (t.out_height // patch_size) * (
                 t.out_width // patch_size
@@ -235,6 +340,21 @@ class ControlTask(Task):
         if self.obs_str == "discrete_obs":
             return np.asarray(observations, np.int32)
         return np.asarray(observations, np.float32)
+
+    def _obs_entries(self, observations) -> Dict[str, np.ndarray]:
+        """[T, ...] raw obs (dict of arrays for Dict/Tuple spaces) ->
+        packer modality entries."""
+        if self.dict_obs is not None:
+            return self.dict_obs.encode(observations)
+        return {self.obs_str: self._obs_array(observations)}
+
+    def _raw_obs_step(self, observation):
+        """One env observation -> [1, ...] raw batch (dict-aware)."""
+        if isinstance(observation, (dict, tuple)):
+            if isinstance(observation, tuple):  # Tuple obs -> indexed keys
+                observation = {str(i): o for i, o in enumerate(observation)}
+            return {k: np.asarray(v)[None] for k, v in observation.items()}
+        return np.asarray(observation)[None]
 
     def _act_array(self, actions: np.ndarray) -> np.ndarray:
         if self.text_action_space is not None:
@@ -302,7 +422,7 @@ class ControlTask(Task):
             else:
                 start = int(self.rng.integers(0, ep_len - timesteps_for_main))
                 end = start + timesteps_for_main
-            obs_list.append(ep.observations[start:end])
+            obs_list.append(slice_obs(ep.observations, start, end))
             act_list.append(ep.actions[start:end])
 
         for i, ep in enumerate(prompt_episodes):
@@ -322,8 +442,8 @@ class ControlTask(Task):
             else:  # uniform
                 p_start = int(self.rng.integers(0, ep_len - n_prompt))
                 p_end = p_start + n_prompt - 1
-            obs_list[i] = np.concatenate(
-                [ep.observations[p_start : p_end + 1], obs_list[i]], axis=0
+            obs_list[i] = concat_obs(
+                slice_obs(ep.observations, p_start, p_end + 1), obs_list[i]
             )
             act_list[i] = np.concatenate(
                 [ep.actions[p_start : p_end + 1], act_list[i]], axis=0
@@ -332,7 +452,7 @@ class ControlTask(Task):
         for obs, act in zip(obs_list, act_list):
             out.append(
                 {
-                    self.obs_str: self._obs_array(obs),
+                    **self._obs_entries(obs),
                     self.action_str: self._act_array(act),
                 }
             )
@@ -431,7 +551,7 @@ class ControlTask(Task):
                     session.start([None])
             else:
                 prompt = self._sample_eval_prompt(generator)
-                obs_hist = prompt[self.obs_str]
+                obs_hist = {k: prompt[k] for k in self.obs_entry_keys}
                 act_hist = prompt[self.action_str]
                 if session is not None:
                     session.start([prompt])
@@ -440,7 +560,7 @@ class ControlTask(Task):
             ep_return = ep_clip = 0.0
             ep_len = 0
             while not done:
-                new_obs = self._obs_array(np.asarray(observation)[None])
+                new_obs = self._obs_entries(self._raw_obs_step(observation))
                 if session is not None:
                     action = session.step(
                         [new_obs], deterministic=deterministic
@@ -453,12 +573,12 @@ class ControlTask(Task):
                     if obs_hist is None:
                         obs_hist, act_hist = new_obs, new_act
                     else:
-                        obs_hist = np.concatenate([obs_hist, new_obs], axis=0)
+                        obs_hist = concat_obs(obs_hist, new_obs)
                         act_hist = np.concatenate([act_hist, new_act], axis=0)
-                    obs_hist = obs_hist[-ctx_ts:]
+                    obs_hist = _obs_tail(obs_hist, ctx_ts)
                     act_hist = act_hist[-ctx_ts:]
 
-                    example = {self.obs_str: obs_hist, self.action_str: act_hist}
+                    example = {**obs_hist, self.action_str: act_hist}
                     action = generator.predict_control(
                         example,
                         action_kind=self.action_kind,
@@ -525,7 +645,9 @@ class ControlTask(Task):
                 else:
                     prompt = self._sample_eval_prompt(generator)
                     prompts.append(prompt)
-                    obs_hist.append(prompt[self.obs_str])
+                    obs_hist.append(
+                        {k: prompt[k] for k in self.obs_entry_keys}
+                    )
                     act_hist.append(prompt[self.action_str])
             if session is not None:
                 session.start(prompts)
@@ -539,7 +661,7 @@ class ControlTask(Task):
                     # done rows keep stepping on their stale obs (static
                     # batch shape); their actions are ignored below
                     new_obs = [
-                        self._obs_array(np.asarray(obs[i])[None])
+                        self._obs_entries(self._raw_obs_step(obs[i]))
                         for i in range(G)
                     ]
                     actions = session.step(
@@ -549,20 +671,22 @@ class ControlTask(Task):
                     examples = []
                     for i in range(G):
                         if not done[i]:
-                            new_obs = self._obs_array(np.asarray(obs[i])[None])
+                            new_obs = self._obs_entries(
+                                self._raw_obs_step(obs[i])
+                            )
                             new_act = np.zeros((1, self.action_tokens), act_dtype)
                             if obs_hist[i] is None:
                                 obs_hist[i], act_hist[i] = new_obs, new_act
                             else:
-                                obs_hist[i] = np.concatenate(
-                                    [obs_hist[i], new_obs], axis=0
-                                )[-ctx_ts:]
+                                obs_hist[i] = _obs_tail(
+                                    concat_obs(obs_hist[i], new_obs), ctx_ts
+                                )
                                 act_hist[i] = np.concatenate(
                                     [act_hist[i], new_act], axis=0
                                 )[-ctx_ts:]
                         examples.append(
                             {
-                                self.obs_str: obs_hist[i],
+                                **obs_hist[i],
                                 self.action_str: act_hist[i],
                             }
                         )
