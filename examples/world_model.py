@@ -102,28 +102,26 @@ def main():
     gen = Generator(ctx.model, trainer.state.params, trainer.packer)
     ts = ctx.model_cfg.token_space
 
-    # ---- 4. roll the world model ------------------------------------------
-    # history of real timesteps, then PREDICT the next frame's codes
+    # ---- 4. roll the world model (Generator.imagine) ----------------------
+    # history of real timesteps, then DREAM: autoregressively predict the
+    # next K frames' codes given the episode's real actions, each predicted
+    # frame fed back as history
     ep = vq_ds.get_episode(0)
-    H = 6
-    ex = {
+    H, K = 6, 3
+    hist = {
         "discrete_obs": ep.observations[:H].astype(np.int32),
         "discrete_actions": np.asarray(ep.actions[:H], np.int32).reshape(
             H, -1),
     }
-    (pred,) = gen.generate_batch(
-        [ex], max_new_tokens=n_codes,
-        start=ts.start("discrete"), end=ts.end("discrete"),
-        return_logits=False,
-    )
-    pred_codes = np.asarray(pred)[0] - ts.start("discrete")
-    true_codes = np.asarray(ep.observations[H], np.int64)
-    acc = float((pred_codes == true_codes).mean())
-    pred_img = codec.decode(pred_codes[None].clip(0, cfg.codebook_size - 1),
-                            grid)[0]
-    true_img = codec.decode(true_codes[None], grid)[0]
+    acts = np.asarray(ep.actions[H : H + K], np.int32).reshape(K, -1)
+    dream = gen.imagine(hist, acts, obs_nvec=[cfg.codebook_size] * n_codes)
+    true_codes = np.asarray(ep.observations[H : H + K], np.int64)
+    acc = float((dream[0] == true_codes[0]).mean())
+    pred_img = codec.decode(dream[:1].astype(np.int64), grid)[0]
+    true_img = codec.decode(true_codes[:1], grid)[0]
     mse = float(np.mean((pred_img - true_img) ** 2))
-    print(f"next-frame code accuracy {acc:.2f}, decoded-pixel MSE {mse:.5f}")
+    print(f"dreamed {K} frames; next-frame code accuracy {acc:.2f}, "
+          f"decoded-pixel MSE {mse:.5f}")
     print("world model OK" if acc > 1.0 / cfg.codebook_size else
           "world model under-trained (raise --training_steps)")
 

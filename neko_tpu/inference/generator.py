@@ -353,6 +353,7 @@ class Generator:
         prompt_emb: Optional[jnp.ndarray] = None,
         prompt_len: Optional[int] = None,
         inner_pos_continuation: bool = False,
+        inner_pos_start: Optional[int] = None,
         exact_window: bool = False,
         temperature: Optional[float] = None,
         top_k: Optional[int] = None,
@@ -396,12 +397,16 @@ class Generator:
                     drop_trailing=drop_trailing,
                     rng=rng,
                     inner_pos_continuation=inner_pos_continuation,
+                    inner_pos_start=inner_pos_start,
                     temperature=temperature, top_k=top_k, top_p=top_p,
                     step_limits=step_limits,
                 )
                 return toks[0], windows[0]
         else:
             emb, L = prompt_emb, int(prompt_len)
+        if inner_pos_start is not None:
+            next_pos = inner_pos_start
+            inner_pos_continuation = True
         assert step_limits is None, (
             "step_limits is not supported on the exact-window overflow "
             "path (control prompts always fit the context)"
@@ -470,6 +475,7 @@ class Generator:
         drop_trailing: int = 0,
         rng: Optional[jax.Array] = None,
         inner_pos_continuation: bool = False,
+        inner_pos_start: Optional[int] = None,
         targets: Optional[np.ndarray] = None,
         return_logits: bool = True,
         temperature: Optional[float] = None,
@@ -498,6 +504,13 @@ class Generator:
         arrays = self.packer.pack_batch(examples, pad_side="right")
         lengths = arrays.pop("lengths") - drop_trailing
         next_pos = arrays["inner_pos"].max(axis=1) + 1  # [N]
+        if inner_pos_start is not None:
+            # restart inner-timestep positions for the generated run —
+            # observation imagination (Generator.imagine): generated obs
+            # token i embeds with the SAME inner pos i it carries in a
+            # packed training stream
+            next_pos = np.full_like(next_pos, inner_pos_start)
+            inner_pos_continuation = True
         ring = int(lengths.max()) + max_new_tokens > S
         batch = to_device_batch(arrays)
         emb = self._embed_batch(self.params, batch)
@@ -1588,6 +1601,99 @@ class Generator:
 
     def predict_answer(self, image, question_tokens, max_length: int = 16, **kw):
         return self.predict_response(image, question_tokens, max_length, **kw)
+
+    def imagine(
+        self,
+        example: Dict,
+        actions: np.ndarray,
+        *,
+        obs_kind: str = "discrete",      # 'discrete' | 'continuous'
+        obs_nvec: Optional[Sequence[int]] = None,
+        context_timesteps: Optional[int] = None,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None,
+        temperature: Optional[float] = None,
+        top_k: Optional[int] = None,
+        top_p: Optional[float] = None,
+    ) -> np.ndarray:
+        """World-model rollout: predict observations for K future timesteps
+        given their actions, feeding each prediction back as history.
+
+        `example` is a control history {*_obs: [T, n], *_actions: [T, m]}
+        whose model was trained with --observation_loss (the RoboCat
+        recipe; PARITY.md "Observation-prediction loss") — without the
+        flag observation tokens are never loss targets (reference
+        gato_policy.py:301,312) and the predictions are noise.  `actions`
+        holds the K future actions [K, m] (encoded values: ints for
+        discrete components, floats for continuous).  Returns the decoded
+        predicted observations [K, n] (component indices for discrete,
+        floats for continuous).
+
+        Each step generates the next timestep's n observation tokens
+        (per-component ranges via `obs_nvec`, same -inf logit masking as
+        MultiDiscrete action decode) with inner-timestep positions
+        restarting at 0 (`inner_pos_start=0`) so each generated obs token
+        embeds exactly as it would in a packed training stream, decodes
+        them, appends (predicted obs, given action) to the history, and
+        RE-PACKS — between steps the token stream carries the full
+        train-time structure (positions, separators).
+        """
+        ts = self.cfg.token_space
+        actions = np.asarray(actions)
+        assert actions.ndim == 2, "actions must be [K, action_tokens]"
+        K = actions.shape[0]
+        obs_str = f"{obs_kind}_obs"
+        assert obs_str in example, f"history lacks {obs_str}"
+        action_str = (
+            "discrete_actions" if "discrete_actions" in example
+            else "continuous_actions"
+        )
+        obs_hist = np.asarray(example[obs_str])
+        act_hist = np.asarray(example[action_str])
+        n = obs_hist.shape[1]
+        start, end = ts.start(obs_kind), ts.end(obs_kind)
+        limits = None
+        if obs_kind == "discrete" and obs_nvec is not None:
+            assert len(obs_nvec) == n
+            end = start + int(max(obs_nvec)) - 1
+            limits = [int(v) for v in obs_nvec]
+        # keep history + n generated tokens inside the context window
+        tpt = n + 1 + act_hist.shape[1]
+        max_ts = (self.cfg.context_len - n) // tpt
+        if context_timesteps is not None:
+            max_ts = min(max_ts, context_timesteps)
+        preds = []
+        for k in range(K):
+            obs_hist = obs_hist[-max_ts:]
+            act_hist = act_hist[-max_ts:]
+            step_rng = None
+            if rng is not None:
+                rng, step_rng = jax.random.split(rng)
+            toks, _ = self.generate(
+                {obs_str: obs_hist, action_str: act_hist},
+                max_new_tokens=n,
+                start=start,
+                end=end,
+                deterministic=deterministic,
+                rng=step_rng,
+                inner_pos_start=0,  # generated obs tokens carry their
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                step_limits=limits,  # train-time inner positions
+            )
+            if obs_kind == "discrete":
+                obs_next = np.asarray(toks - start, obs_hist.dtype)
+            else:
+                obs_next = decode_np(
+                    np.asarray(toks, np.int32),
+                    n_bins=ts.continuous_tokens,
+                    offset=ts.continuous_start,
+                ).astype(obs_hist.dtype)
+            preds.append(obs_next)
+            obs_hist = np.concatenate([obs_hist, obs_next[None]], axis=0)
+            act_hist = np.concatenate(
+                [act_hist, actions[k][None].astype(act_hist.dtype)], axis=0
+            )
+        return np.stack(preds)
 
     def rollout_session(self, **kw) -> "RolloutSession":
         return RolloutSession(self, **kw)

@@ -183,6 +183,36 @@ def test_parallel_lockstep_eval(setup):
     assert m["mean_episode_len"] == task.env.horizon
 
 
+def test_served_dict_obs_action(setup):
+    """/v1/action accepts a composite observation — multiple packer entry
+    keys in one payload (the wire format IS the packer schema, so Dict obs
+    serve with no server changes)."""
+    import json
+    import urllib.request
+
+    from neko_tpu.serving.server import NekoServer
+
+    task, gen = setup
+    with NekoServer(gen, port=0) as srv:
+        host, port = srv.address[0], srv.address[1]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/action",
+            data=json.dumps({
+                "images": np.zeros((1, 16, 16, 3), np.float32).tolist(),
+                "continuous_obs": [[0.1, -0.2, 0.3, 0.0]],
+                "action_kind": "discrete",
+                "action_tokens": 1,
+                "num_actions": 3,
+            }).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=180) as r:
+            body = json.loads(r.read())
+        assert r.status == 200
+        a = body["action"]
+        assert 0 <= int(a if np.isscalar(a) else a[0]) < 3
+
+
 def test_tuple_obs_env_end_to_end(setup):
     """A Tuple(Box, Discrete) obs env trains/evals through the same path."""
     _, gen = setup

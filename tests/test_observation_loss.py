@@ -113,6 +113,26 @@ for i in range(4):
     total += 3
 print("IN_RANGE", hits / total)
 assert hits / total >= 2 / 3
+# multi-step imagination on the trained model: predictions track the env's
+# DETERMINISTIC dynamics (state' fixed by state+action) above chance
+env = task.env
+correct = count = 0
+for i in range(4):
+    ex = task.sample_batch(1, {}, max_tokens=96)[0]
+    H = 6
+    hist = {"discrete_obs": ex["discrete_obs"][:H],
+            "discrete_actions": ex["discrete_actions"][:H]}
+    acts = ex["discrete_actions"][H:H+2]
+    preds = gen.imagine(hist, acts, obs_nvec=[6, 4, 8])
+    true = ex["discrete_obs"][H:H+2]
+    correct += int((preds == true).sum()); count += preds.size
+print("IMAGINE_ACC", correct / count)
+# measured 0.21 at 150 steps (chance ~ 0.18; 0.08 before generated obs
+# tokens carried inner positions).  24 samples is too few to pin
+# above-chance robustly, so assert only against gross regression; the
+# exact embedding semantics are pinned by tests/test_imagine.py::
+# test_decode_windows_match_packed_full_forward.
+assert correct / count > 0.05
 print("WM_OK")
 """
 
@@ -133,6 +153,6 @@ def test_world_model_predicts_next_observation():
     env.pop("XLA_FLAGS", None)
     out = subprocess.run(
         [sys.executable, "-c", _WM_SCRIPT], env=env,
-        capture_output=True, text=True, timeout=560,
+        capture_output=True, text=True, timeout=900,
     )
     assert "WM_OK" in out.stdout, (out.stdout[-800:], out.stderr[-800:])
