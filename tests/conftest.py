@@ -8,6 +8,10 @@ axon-TPU environment the JAX_PLATFORMS env var is overridden by the harness —
 
 import os
 
+# tests never need the network: skip straight to the cached tokenizer or the
+# byte fallback instead of minutes of HF hub retries (tokenizers/text.py)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -183,6 +183,35 @@ def test_parallel_lockstep_eval(setup):
     assert m["mean_episode_len"] == task.env.horizon
 
 
+def test_mixture_training_with_composite_spaces():
+    """One run mixing a Dict-obs env (patches + vectors), a Text-space env,
+    and synthetic text: the trainer's mixture split, patch budget, and
+    packer coexist across heterogeneous control tasks."""
+    from neko_tpu.cli import build as B
+    from neko_tpu.training.arguments import TrainingArgs
+    from neko_tpu.training.trainer import Trainer
+
+    targs = TrainingArgs(
+        cpu=True, sequence_length=98, embed_dim=32, layers=2, heads=2,
+        batch_size=8, text_prop=0.25,
+        text_datasets=["synthetic"], text_datasets_paths=["synthetic"],
+        control_datasets=["neko-synth-dict-v0", "neko-synth-text-v0"],
+        training_steps=2, log_eval_freq=2, eval_episodes=1,
+        eval_text_num_examples=1, mixed_precision="no",
+        save_model=False, log_jsonl=False, dropout=0.0,
+    )
+    import time
+
+    ctx, tasks = B.build_context(targs)
+    trainer = Trainer(ctx, tasks, "mix_dict_test", targs)
+    trainer.init_state()
+    trainer.start_time = time.time()
+    logs = trainer.train_iteration(2, 0)
+    assert np.isfinite(logs["training/train_loss_mean"])
+    assert "evaluation/neko-synth-dict-v0/mean_return" in logs
+    assert "evaluation/neko-synth-text-v0/mean_return" in logs
+
+
 def test_served_dict_obs_action(setup):
     """/v1/action accepts a composite observation — multiple packer entry
     keys in one payload (the wire format IS the packer schema, so Dict obs
