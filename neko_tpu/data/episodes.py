@@ -21,13 +21,16 @@ import numpy as np
 
 @dataclasses.dataclass
 class Episode:
-    observations: np.ndarray  # [T(+1), ...], or dict[str, array] for
-    actions: np.ndarray       # Dict/Tuple obs spaces; [T, ...]
+    observations: np.ndarray  # [T(+1), ...]; observations/actions may be
+    actions: np.ndarray       # dict[str, array] for Dict/Tuple spaces
     rewards: np.ndarray       # [T]
 
     @property
     def total_timesteps(self) -> int:
-        return int(self.actions.shape[0])
+        a = self.actions
+        if isinstance(a, dict):
+            return int(next(iter(a.values())).shape[0])
+        return int(a.shape[0])
 
 
 def slice_obs(obs, start: int, end: int):
@@ -121,14 +124,15 @@ class H5EpisodeDataset(EpisodeDataset):
         import h5py
 
         g = self._file[f"episode_{idx}"]
-        obs = g["observations"]
-        if isinstance(obs, h5py.Group):  # Dict obs space: one dataset per key
-            obs = {k: np.asarray(v) for k, v in obs.items()}
-        else:
-            obs = np.asarray(obs)
+
+        def _load(node):  # Dict spaces: one dataset per component key
+            if isinstance(node, h5py.Group):
+                return {k: np.asarray(v) for k, v in node.items()}
+            return np.asarray(node)
+
         return Episode(
-            observations=obs,
-            actions=np.asarray(g["actions"]),
+            observations=_load(g["observations"]),
+            actions=_load(g["actions"]),
             rewards=np.asarray(g["rewards"]),
         )
 
@@ -148,13 +152,14 @@ def save_h5(
             f.attrs["env_id"] = env_id
         for i, ep in enumerate(episodes):
             g = f.create_group(f"episode_{i}")
-            if isinstance(ep.observations, dict):
-                og = g.create_group("observations")
-                for k, v in ep.observations.items():
-                    og.create_dataset(k, data=v)
-            else:
-                g.create_dataset("observations", data=ep.observations)
-            g.create_dataset("actions", data=ep.actions)
+            for name, val in (("observations", ep.observations),
+                              ("actions", ep.actions)):
+                if isinstance(val, dict):
+                    sub = g.create_group(name)
+                    for k, v in val.items():
+                        sub.create_dataset(k, data=v)
+                else:
+                    g.create_dataset(name, data=val)
             g.create_dataset("rewards", data=ep.rewards)
 
 
@@ -175,13 +180,15 @@ class MinariEpisodeDataset(EpisodeDataset):
 
     def get_episode(self, idx: int) -> Episode:
         ep = list(self._ds.iterate_episodes([int(self._indices[idx])]))[0]
-        obs = ep.observations
-        obs = (
-            {k: np.asarray(v) for k, v in obs.items()}
-            if isinstance(obs, dict) else np.asarray(obs)
-        )
+
+        def _conv(v):
+            return (
+                {k: np.asarray(x) for k, x in v.items()}
+                if isinstance(v, dict) else np.asarray(v)
+            )
+
         return Episode(
-            observations=obs,
-            actions=np.asarray(ep.actions),
+            observations=_conv(ep.observations),
+            actions=_conv(ep.actions),
             rewards=np.asarray(ep.rewards),
         )

@@ -20,6 +20,9 @@ Registered dataset names (usable in --control_datasets):
     neko-synth-dict-v0           Dict obs {image 16x16, state vec} /
                                  Discrete(3) — Gato-style camera +
                                  proprioception in one timestep
+    neko-synth-dictact-v0        MultiDiscrete obs / Dict action
+                                 {arm MultiDiscrete([3,3]), gripper
+                                 Discrete(2)} — structured robot actions
 """
 
 from __future__ import annotations
@@ -285,6 +288,54 @@ class SyntheticDictEnv(gym.Env):
         return self._obs(), reward, False, self._t >= self.horizon, {}
 
 
+class SyntheticDictActEnv(gym.Env):
+    """Dict ACTION space (all-discrete components: gripper Discrete(2) +
+    arm MultiDiscrete([3, 3])) — robot-arm-style structured actions.  The
+    expert action is an affine hash of the integer obs, so each component
+    is learnable from (obs -> action) pairs."""
+
+    def __init__(self, obs_dim: int = 3, horizon: int = 16, seed: int = 0):
+        self.observation_space = gym.spaces.MultiDiscrete([5] * obs_dim)
+        self.action_space = gym.spaces.Dict(
+            {
+                "arm": gym.spaces.MultiDiscrete([3, 3]),
+                "gripper": gym.spaces.Discrete(2),
+            }
+        )
+        self.horizon = horizon
+        rng = np.random.RandomState(seed)
+        self._W = rng.randint(1, 5, size=(3, obs_dim))
+        self._obs_dim = obs_dim
+        self._t = 0
+        self._state = np.zeros(obs_dim, np.int64)
+
+    def expert_action(self, obs=None):
+        h = self._W @ self._state
+        return {
+            "arm": np.asarray([h[0] % 3, h[1] % 3], np.int64),
+            "gripper": int(h[2] % 2),
+        }
+
+    def reset(self, *, seed: Optional[int] = None, options=None):
+        super().reset(seed=seed)
+        self._t = 0
+        self._state = self.np_random.integers(0, 5, self._obs_dim).astype(
+            np.int64
+        )
+        return self._state.copy(), {}
+
+    def step(self, action):
+        want = self.expert_action()
+        hits = float(
+            np.mean(np.asarray(action["arm"]) == want["arm"])
+        ) + float(int(action["gripper"]) == want["gripper"])
+        self._state = (self._state + 1 + int(action["gripper"])) % 5
+        self._t += 1
+        return (
+            self._state.copy(), hits / 2, False, self._t >= self.horizon, {},
+        )
+
+
 def collect_expert_dataset(
     env: gym.Env,
     n_episodes: int = 32,
@@ -308,20 +359,23 @@ def collect_expert_dataset(
                     a = env.action_space.sample()
             obs, r, term, trunc, _ = env.step(a)
             observations.append(obs)
-            actions.append(np.asarray(a))
+            actions.append(
+                a if isinstance(a, (dict, tuple)) else np.asarray(a)
+            )
             rewards.append(r)
             done = term or trunc
-        if isinstance(observations[0], dict):  # Dict obs space
-            obs_arr = {
-                k: np.asarray([o[k] for o in observations])
-                for k in observations[0]
-            }
-        else:
-            obs_arr = np.asarray(observations)
+
+        def _stack(vals):  # Dict/Tuple spaces store per-component arrays
+            if isinstance(vals[0], tuple):
+                vals = [{str(j): x for j, x in enumerate(v)} for v in vals]
+            if isinstance(vals[0], dict):
+                return {k: np.asarray([v[k] for v in vals]) for k in vals[0]}
+            return np.asarray(vals)
+
         episodes.append(
             Episode(
-                observations=obs_arr,
-                actions=np.asarray(actions),
+                observations=_stack(observations),
+                actions=_stack(actions),
                 rewards=np.asarray(rewards, np.float32),
             )
         )
@@ -335,6 +389,7 @@ SYNTHETIC_SPECS = {
     "neko-synth-multidiscrete-v0": lambda kw: SyntheticMultiDiscreteEnv(**kw),
     "neko-synth-text-v0": lambda kw: SyntheticTextEnv(**kw),
     "neko-synth-dict-v0": lambda kw: SyntheticDictEnv(**kw),
+    "neko-synth-dictact-v0": lambda kw: SyntheticDictActEnv(**kw),
 }
 
 

@@ -224,6 +224,87 @@ def _obs_tail(h, n: int):
     return h[-n:]
 
 
+class DictActCodec:
+    """Maps a Dict/Tuple ACTION space onto one token run per timestep.
+
+    All components must share a kind: every component discrete-family
+    (Discrete/MultiDiscrete/MultiBinary/Text — concatenated per-component
+    nvec rides the existing MultiDiscrete decode limits) or every component
+    a 1-D Box (concatenated continuous tokens).  Mixed kinds would need two
+    token ranges inside one decode run — unsupported, assert early."""
+
+    def __init__(self, space):
+        self.is_tuple = isinstance(space, gym.spaces.Tuple)
+        if self.is_tuple:
+            items = [(str(i), s) for i, s in enumerate(space.spaces)]
+        else:
+            items = sorted(space.spaces.items())
+        kinds = set()
+        for _, s in items:
+            if isinstance(s, gym.spaces.Box):
+                assert len(s.shape) == 1, f"unsupported Box action {s.shape}"
+                kinds.add("continuous")
+            elif isinstance(s, SUPPORTED_SPACES):
+                kinds.add("discrete")
+            else:
+                raise NotImplementedError(f"unsupported Dict component {s}")
+        assert len(kinds) == 1, (
+            "Dict action components must all be continuous or all discrete"
+        )
+        self.kind = kinds.pop()
+        self.items = items
+        self.widths = [
+            int(s.shape[0]) if isinstance(s, gym.spaces.Box)
+            else tokens_per_space(s)
+            for _, s in items
+        ]
+        self.tokens = sum(self.widths)
+        if self.kind == "discrete":
+            self.nvec = []
+            for _, s in items:
+                if isinstance(s, gym.spaces.Discrete):
+                    self.nvec.append(int(s.n))
+                else:
+                    self.nvec.extend(space_nvec(s))
+        else:
+            self.nvec = None
+
+    def _enc_component(self, s, v, T: int) -> np.ndarray:
+        if isinstance(s, gym.spaces.Text):
+            return encode_text(s, list(v)).astype(np.float32)
+        return np.asarray(v, np.float32).reshape(T, -1)
+
+    def encode(self, actions) -> np.ndarray:
+        """{component key: [T, ...]} -> [T, tokens] (int32/float32)."""
+        T = len(next(iter(actions.values())))
+        out = np.concatenate(
+            [self._enc_component(s, actions[k], T) for k, s in self.items],
+            axis=1,
+        )
+        return out.astype(
+            np.float32 if self.kind == "continuous" else np.int32
+        )
+
+    def decode(self, vec) -> Dict:
+        """[tokens] decoded components -> dict action for env.step."""
+        vec = np.asarray(vec).reshape(-1)
+        out, i = {}, 0
+        for (k, s), w in zip(self.items, self.widths):
+            part = vec[i : i + w]
+            i += w
+            if isinstance(s, gym.spaces.Text):
+                out[k] = decode_text(s, part)
+            elif isinstance(s, gym.spaces.Discrete):
+                out[k] = int(part[0])
+            elif isinstance(s, gym.spaces.Box):
+                out[k] = np.asarray(part, s.dtype).reshape(s.shape)
+            else:  # MultiDiscrete / MultiBinary
+                out[k] = np.asarray(part, s.dtype).reshape(s.shape)
+        if self.is_tuple:
+            return tuple(out[str(i)] for i in range(len(self.items)))
+        return out
+
+
 class ControlTask(Task):
     def __init__(
         self,
@@ -245,7 +326,9 @@ class ControlTask(Task):
         self.rng = np.random.default_rng(seed)
 
         act_space, obs_space = env.action_space, env.observation_space
-        assert isinstance(act_space, SUPPORTED_SPACES), f"unsupported {act_space}"
+        assert isinstance(
+            act_space, SUPPORTED_SPACES + (gym.spaces.Dict, gym.spaces.Tuple)
+        ), f"unsupported {act_space}"
         assert isinstance(
             obs_space, SUPPORTED_SPACES + (gym.spaces.Dict, gym.spaces.Tuple)
         ), f"unsupported {obs_space}"
@@ -275,20 +358,36 @@ class ControlTask(Task):
             else [self.obs_str]
         )
 
-        self.action_kind = (
-            "continuous" if isinstance(act_space, gym.spaces.Box) else "discrete"
+        # Dict/Tuple actions: components concatenate into one token run
+        # (uniform kind — DictActCodec)
+        self.dict_act = (
+            DictActCodec(act_space)
+            if isinstance(act_space, (gym.spaces.Dict, gym.spaces.Tuple))
+            else None
         )
+        if self.dict_act is not None:
+            self.action_kind = self.dict_act.kind
+            self.action_tokens = self.dict_act.tokens
+            self.num_actions = None
+            self.action_nvec = self.dict_act.nvec
+            self.text_action_space = None
+        else:
+            self.action_kind = (
+                "continuous" if isinstance(act_space, gym.spaces.Box)
+                else "discrete"
+            )
+            self.action_tokens = tokens_per_space(act_space)
+            self.num_actions = (
+                int(act_space.n)
+                if isinstance(act_space, gym.spaces.Discrete) else None
+            )
+            # MultiDiscrete/MultiBinary/Text actions: one token per
+            # component, each restricted to its own range at decode time
+            self.action_nvec = space_nvec(act_space)
+            self.text_action_space = (
+                act_space if isinstance(act_space, gym.spaces.Text) else None
+            )
         self.action_str = f"{self.action_kind}_actions"
-        self.action_tokens = tokens_per_space(act_space)
-        self.num_actions = (
-            int(act_space.n) if isinstance(act_space, gym.spaces.Discrete) else None
-        )
-        # MultiDiscrete/MultiBinary/Text actions: one token per component,
-        # each restricted to its own range at decode time
-        self.action_nvec = space_nvec(act_space)
-        self.text_action_space = (
-            act_space if isinstance(act_space, gym.spaces.Text) else None
-        )
 
         if self.dict_obs is not None:
             self.patches_per_timestep = self.dict_obs.patches_per_timestep
@@ -357,6 +456,8 @@ class ControlTask(Task):
         return np.asarray(observation)[None]
 
     def _act_array(self, actions: np.ndarray) -> np.ndarray:
+        if self.dict_act is not None:
+            return self.dict_act.encode(actions)
         if self.text_action_space is not None:
             return encode_text(self.text_action_space, list(actions))
         if self.action_kind == "continuous":
@@ -423,7 +524,7 @@ class ControlTask(Task):
                 start = int(self.rng.integers(0, ep_len - timesteps_for_main))
                 end = start + timesteps_for_main
             obs_list.append(slice_obs(ep.observations, start, end))
-            act_list.append(ep.actions[start:end])
+            act_list.append(slice_obs(ep.actions, start, end))
 
         for i, ep in enumerate(prompt_episodes):
             n_prompt = prompt_budget[i]
@@ -445,8 +546,8 @@ class ControlTask(Task):
             obs_list[i] = concat_obs(
                 slice_obs(ep.observations, p_start, p_end + 1), obs_list[i]
             )
-            act_list[i] = np.concatenate(
-                [ep.actions[p_start : p_end + 1], act_list[i]], axis=0
+            act_list[i] = concat_obs(
+                slice_obs(ep.actions, p_start, p_end + 1), act_list[i]
             )
 
         for obs, act in zip(obs_list, act_list):
@@ -490,6 +591,8 @@ class ControlTask(Task):
 
     def _env_action(self, action):
         """Decoded action -> what env.step expects."""
+        if self.dict_act is not None:
+            return self.dict_act.decode(action)
         if self.action_kind != "discrete":
             return np.asarray(action, np.float32)
         if self.text_action_space is not None:

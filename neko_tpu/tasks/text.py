@@ -73,6 +73,8 @@ class TextTask(Task):
             self._data["test"] += [r["text"] for r in ds[test_split]]
 
     def sample_batch(self, batch_size: int, is_test: bool = False) -> List[Dict]:
+        if batch_size <= 0:
+            return []
         rows = self._data["test" if is_test else "train"]
         out: List[Dict] = []
         # resample until full: empty rows are common (e.g. wikitext blank
@@ -107,6 +109,8 @@ class TextTask(Task):
         num_examples_to_test = min(
             num_examples_to_test, len(self._data["test"])
         )
+        if num_examples_to_test <= 0:
+            return {}
         batch_dicts = self.sample_batch(num_examples_to_test, is_test=True)
 
         # random split point per example (text_task.py:84)

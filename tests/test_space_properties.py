@@ -15,7 +15,8 @@ from hypothesis import given, settings, strategies as st
 import gymnasium as gym
 
 from neko_tpu.tasks.control import (
-    DictObsCodec, decode_text, encode_text, space_nvec, tokens_per_space,
+    DictActCodec, DictObsCodec, decode_text, encode_text, space_nvec,
+    tokens_per_space,
 )
 
 _CHARS = string.ascii_letters + string.digits + "_-"
@@ -117,6 +118,59 @@ def test_dict_codec_token_accounting(data):
     if with_image:
         assert enc["images"].shape == (2, 16, 16, 3)
     assert set(enc) == set(codec.entry_keys)
+
+
+@st.composite
+def _discrete_act_component(draw):
+    kind = draw(st.sampled_from(["discrete", "multi", "binary", "text"]))
+    if kind == "discrete":
+        return gym.spaces.Discrete(draw(st.integers(2, 6)))
+    if kind == "multi":
+        return gym.spaces.MultiDiscrete(
+            draw(st.lists(st.integers(2, 5), min_size=1, max_size=3))
+        )
+    if kind == "binary":
+        return gym.spaces.MultiBinary(draw(st.integers(1, 3)))
+    return gym.spaces.Text(
+        max_length=draw(st.integers(1, 4)), min_length=1, charset="ab",
+    )
+
+
+@given(st.data())
+@settings(max_examples=60, deadline=None)
+def test_dict_act_codec_roundtrip(data):
+    """encode -> decode returns EXACTLY the sampled composite action, and
+    decode of any in-range component vector satisfies space.contains."""
+    kind = data.draw(st.sampled_from(["discrete", "continuous"]))
+    n = data.draw(st.integers(1, 3))
+    comps = {}
+    for i in range(n):
+        if kind == "continuous":
+            w = data.draw(st.integers(1, 3))
+            comps[f"k{i}"] = gym.spaces.Box(-1, 1, (w,), np.float32)
+        else:
+            comps[f"k{i}"] = data.draw(_discrete_act_component())
+    space = gym.spaces.Dict(comps)
+    codec = DictActCodec(space)
+    assert codec.kind == kind
+    if kind == "discrete":
+        assert len(codec.nvec) == codec.tokens
+
+    samples = [space.sample() for _ in range(2)]
+    stacked = {k: np.asarray([s[k] for s in samples]) for k in comps}
+    enc = codec.encode(stacked)
+    assert enc.shape == (2, codec.tokens)
+    for t, s in enumerate(samples):
+        dec = codec.decode(enc[t])
+        assert space.contains(dec), (dec, s)
+        for k, sub in comps.items():
+            if isinstance(sub, gym.spaces.Text):
+                assert dec[k] == s[k]
+            else:
+                np.testing.assert_array_almost_equal(
+                    np.asarray(dec[k], np.float64).reshape(-1),
+                    np.asarray(s[k], np.float64).reshape(-1),
+                )
 
 
 @given(st.data())
