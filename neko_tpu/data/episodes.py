@@ -182,6 +182,8 @@ class MinariEpisodeDataset(EpisodeDataset):
         ep = list(self._ds.iterate_episodes([int(self._indices[idx])]))[0]
 
         def _conv(v):
+            if isinstance(v, tuple):  # Tuple spaces -> indexed keys, same
+                v = {str(i): x for i, x in enumerate(v)}  # as DictObsCodec
             return (
                 {k: np.asarray(x) for k, x in v.items()}
                 if isinstance(v, dict) else np.asarray(v)

@@ -242,7 +242,7 @@ class SyntheticDictEnv(gym.Env):
     {0, 1}, expert = (b + s) % n_actions."""
 
     def __init__(self, size: int = 16, n_actions: int = 3, state_dim: int = 4,
-                 horizon: int = 16, seed: int = 0):
+                 horizon: int = 16):
         self.observation_space = gym.spaces.Dict(
             {
                 "image": gym.spaces.Box(0, 255, (size, size), np.uint8),

@@ -37,7 +37,7 @@ from neko_tpu.config import ModelConfig
 from neko_tpu.data.batch import to_device_batch
 from neko_tpu.data.packing import SequencePacker
 from neko_tpu.models.policy import NekoModel
-from neko_tpu.tokenizers.continuous import decode_np
+from neko_tpu.tokenizers.continuous import decode_mu_law_np, decode_np
 
 
 def apply_logit_filters(window, *, temperature=1.0, top_k: int = 0,
@@ -1660,7 +1660,12 @@ class Generator:
         # keep history + n generated tokens inside the context window
         tpt = n + 1 + act_hist.shape[1]
         max_ts = (self.cfg.context_len - n) // tpt
+        assert max_ts >= 1, (
+            f"one timestep ({tpt} tokens) + {n} generated obs tokens "
+            f"exceed the context ({self.cfg.context_len})"
+        )
         if context_timesteps is not None:
+            assert context_timesteps >= 1
             max_ts = min(max_ts, context_timesteps)
         preds = []
         for k in range(K):
@@ -1669,22 +1674,33 @@ class Generator:
             step_rng = None
             if rng is not None:
                 rng, step_rng = jax.random.split(rng)
-            toks, _ = self.generate(
-                {obs_str: obs_hist, action_str: act_hist},
+            # generated obs tokens carry their train-time inner positions
+            # (inner_pos_start=0); logits are never needed — don't fetch
+            # an [1, n, W] fp32 buffer per step over the tunnel
+            (toks,) = self.generate_batch(
+                [{obs_str: obs_hist, action_str: act_hist}],
                 max_new_tokens=n,
                 start=start,
                 end=end,
                 deterministic=deterministic,
                 rng=step_rng,
-                inner_pos_start=0,  # generated obs tokens carry their
+                inner_pos_start=0,
+                return_logits=False,
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                step_limits=limits,  # train-time inner positions
+                step_limits=limits,
             )
+            toks = toks[0]
             if obs_kind == "discrete":
                 obs_next = np.asarray(toks - start, obs_hist.dtype)
             else:
-                obs_next = decode_np(
+                # continuous obs are PACKED with mu-law companding
+                # (data/packing.py mu_law=True); invert bin AND companding
+                # so predictions are in value space and the fed-back
+                # history re-encodes to the very tokens generated
+                obs_next = decode_mu_law_np(
                     np.asarray(toks, np.int32),
+                    mu=self.cfg.mu,
+                    M=self.cfg.M,
                     n_bins=ts.continuous_tokens,
                     offset=ts.continuous_start,
                 ).astype(obs_hist.dtype)

@@ -218,10 +218,8 @@ class DictObsCodec:
 
 
 def _obs_tail(h, n: int):
-    """history[-n:], dict-aware (packer-entry histories)."""
-    if isinstance(h, dict):
-        return {k: v[-n:] for k, v in h.items()}
-    return h[-n:]
+    """history[-n:], dict-aware (slice_obs with a tail window)."""
+    return slice_obs(h, -n, None)
 
 
 class DictActCodec:

@@ -79,6 +79,42 @@ def decode_np(tokens: np.ndarray, *, n_bins: int = 1024, offset: int = 0) -> np.
     return (2.0 * t) / n_bins - 1.0
 
 
+def mu_law_inverse_np(
+    y: np.ndarray, mu: float = 100.0, M: float = 256.0
+) -> np.ndarray:
+    """Inverse companding: |x| = ((1 + mu*M)^|y| - 1) / mu.
+
+    The reference never needs this (its mu-law tokenizer raises on decode,
+    input_tokenizers.py:40-41, because only ACTIONS — encoded without
+    mu-law — are ever decoded).  Observation imagination
+    (Generator.imagine) does: predicted continuous-obs tokens live in
+    mu-law space and must be mapped back to value space, both for the
+    returned predictions and so the fed-back history re-encodes to the
+    same tokens instead of being companded twice."""
+    y = np.asarray(y, dtype=np.float32)
+    return np.sign(y) * (
+        np.expm1(np.abs(y) * math.log(1 + mu * M)) / mu
+    ).astype(np.float32)
+
+
+def decode_mu_law_np(
+    tokens: np.ndarray,
+    *,
+    mu: float = 100.0,
+    M: float = 256.0,
+    n_bins: int = 1024,
+    offset: int = 0,
+) -> np.ndarray:
+    """Full inverse of the mu-law encode: bin CENTER -> companding inverse.
+
+    The center (left edge + 1/n_bins in companded space) leaves a half-bin
+    margin on both sides, so float32 rounding through the companding
+    round-trip cannot cross a bin edge: encode_np(decode_mu_law_np(t)) == t
+    for every in-range bin (fuzzed in tests/test_space_properties.py)."""
+    y = decode_np(tokens, n_bins=n_bins, offset=offset) + 1.0 / n_bins
+    return mu_law_inverse_np(y, mu, M)
+
+
 def decode(tokens: jnp.ndarray, *, n_bins: int = 1024, offset: int = 0) -> jnp.ndarray:
     t = tokens.astype(jnp.float32) - offset
     return (2.0 * t) / n_bins - 1.0

@@ -173,6 +173,20 @@ def test_dict_act_codec_roundtrip(data):
                 )
 
 
+@given(st.integers(0, 1023))
+@settings(max_examples=200, deadline=None)
+def test_mu_law_decode_roundtrip(b):
+    """decode_mu_law_np is a true right-inverse of the mu-law encode: any
+    bin decodes to a value that re-encodes to the SAME bin — the invariant
+    Generator.imagine needs so fed-back continuous observations re-pack to
+    the tokens the model actually generated (no double companding)."""
+    from neko_tpu.tokenizers.continuous import decode_mu_law_np, encode_np
+
+    x = decode_mu_law_np(np.asarray([b]), n_bins=1024, offset=0)
+    b2 = encode_np(x, use_mu_law=True, n_bins=1024, offset=0)
+    assert int(b2[0]) == b
+
+
 @given(st.data())
 @settings(max_examples=40, deadline=None)
 def test_tokens_per_space_matches_nvec_lengths(data):
