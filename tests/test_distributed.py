@@ -33,7 +33,7 @@ def _free_port() -> int:
     os.environ.get("NEKO_TEST_TPU"),
     reason="two CPU processes; the TPU chip cannot be opened twice",
 )
-def test_two_process_training():
+def test_two_process_training(tmp_path):
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -61,6 +61,8 @@ def test_two_process_training():
                     "--eval_episodes=0", "--eval_text_num_examples=2",
                     "--mixed_precision=no", "--no_save_model",
                     "--prefetch_batches=0",
+                    # keep run artifacts out of the repo's models/
+                    "--save_dir", str(tmp_path),
                 ],
                 cwd=REPO,
                 env=env,

@@ -45,47 +45,67 @@ def _median_time(fn, reps):
     return float(np.median(ts))
 
 
-def micro(reps):
+def micro(reps, d=4096, D=8192, total_mb=512):
     """Matvec weight-stream rates: bf16 vs int8->bf16 vs fp8->bf16.
 
-    Shape mimics the decode matvec: x[1, d] @ W[d, D] with D large enough
-    that the weight read dominates (64 MB bf16 = well past L2/VMEM)."""
+    Shape mimics the decode matvec: x[1, d] @ W[d, D] with the weight
+    read dominating.  Two harness hazards, both hit and fixed on-chip:
+
+    * one timed call per matvec measures only the ~30 ms tunnel round
+      trip (a 64 MB matvec is ~0.1 ms) — so `iters` matvecs run inside
+      ONE jitted fori_loop per timed call;
+    * a loop over the SAME weight gets CSE'd even behind
+      `lax.optimization_barrier` (measured: total time constant in
+      `iters`, implying >HBM-peak rates) — so each iteration
+      dynamic-slices a DIFFERENT weight from a pool sized >> VMEM
+      (`total_mb`), making the per-iteration HBM stream unavoidable,
+      and the constant dispatch overhead is cancelled by timing two
+      iteration counts and taking the slope."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    d, D = 4096, 8192  # 32M params: 64MB bf16 / 32MB int8|fp8
-    key = jax.random.key(0)
-    w = jax.random.normal(key, (d, D), jnp.float32)
+    n = max(4, int(total_mb * 1e6 / (d * D * 2)))
+    w = jax.random.normal(jax.random.key(0), (n, d, D), jnp.float32) \
+        / float(np.sqrt(d))
     x = jax.random.normal(jax.random.key(1), (1, d), jnp.bfloat16)
     wb = w.astype(jnp.bfloat16)
-    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 127.0, 1e-30)
-    wi = jnp.round(w / scale[None, :]).astype(jnp.int8)
-    scale8 = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / 448.0, 1e-30)
-    wf8 = jnp.clip(w / scale8[None, :], -448, 448).astype(jnp.float8_e4m3fn)
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / 127.0, 1e-30)
+    wi = jnp.round(w / scale[:, None, :]).astype(jnp.int8)
+    scale8 = jnp.maximum(jnp.max(jnp.abs(w), axis=1) / 448.0, 1e-30)
+    wf8 = jnp.clip(w / scale8[:, None, :], -448, 448) \
+        .astype(jnp.float8_e4m3fn)
     sb = scale.astype(jnp.bfloat16)
     s8b = scale8.astype(jnp.bfloat16)
 
-    @jax.jit
-    def dot_bf16(x, w):
-        return (x @ w).sum()
+    def loop(dot, *ws):
+        @jax.jit
+        def run(x, iters):
+            def body(i, acc):
+                sl = [lax.dynamic_index_in_dim(w_, i % n, 0, keepdims=False)
+                      for w_ in ws]
+                return acc + dot(x, *sl).astype(jnp.float32)
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return run
 
-    @jax.jit
-    def dot_int8(x, w, s):
-        return ((x @ w.astype(jnp.bfloat16)) * s[None, :]).sum()
+    run_bf16 = loop(lambda x, w_: (x @ w_).sum(), wb)
+    run_i8 = loop(lambda x, w_, s_: ((x @ w_.astype(jnp.bfloat16))
+                                     * s_[None, :]).sum(), wi, sb)
+    run_f8 = loop(lambda x, w_, s_: ((x @ w_.astype(jnp.bfloat16))
+                                     * s_[None, :]).sum(), wf8, s8b)
 
-    @jax.jit
-    def dot_fp8(x, w, s):
-        return ((x @ w.astype(jnp.bfloat16)) * s[None, :]).sum()
-
+    i1, i2 = 128, 384
     out = {}
     for name, fn, src_bytes in [
-        ("bf16", lambda: float(dot_bf16(x, wb)), d * D * 2),
-        ("int8", lambda: float(dot_int8(x, wi, sb)), d * D),
-        ("fp8_e4m3", lambda: float(dot_fp8(x, wf8, s8b)), d * D),
+        ("bf16", run_bf16, d * D * 2),
+        ("int8", run_i8, d * D),
+        ("fp8_e4m3", run_f8, d * D),
     ]:
-        t = _median_time(fn, reps)
+        t1 = _median_time(lambda: float(fn(x, i1)), reps)
+        t2 = _median_time(lambda: float(fn(x, i2)), reps)
+        t = (t2 - t1) / (i2 - i1)
         out[name] = {
-            "ms": round(t * 1e3, 3),
+            "ms": round(t * 1e3, 4),
             "source_GBps": round(src_bytes / t / 1e9, 1),
             "bf16_equiv_GBps": round(d * D * 2 / t / 1e9, 1),
         }

@@ -100,12 +100,46 @@ def main():
 
     out = {"config": cli.config, "k": cli.k, "gen": cli.gen,
            "kv_cache": cfg.kv_cache_dtype}
+    def check_lossless(spec_toks, plain_toks, plain_logits, what):
+        """Token-for-token equality, modulo EXACT logit ties.
+
+        On a random-init model thousands of the 52k logits tie exactly in
+        bf16; the 1-token decode forward and the K+1-token verify forward
+        break such ties differently (different matmul shapes -> different
+        reduction order), which is not a losslessness violation.  Measured
+        on-chip: every divergence site has plain_logit[plain_tok] ==
+        plain_logit[spec_tok] bit-exactly.  On trained weights ties are
+        vanishingly rare and this reduces to the strict assert."""
+        spec_toks = np.asarray(spec_toks)
+        plain_toks = np.asarray(plain_toks)
+        n = min(len(spec_toks), len(plain_toks))
+        L = np.asarray(plain_logits, np.float32)
+        if L.ndim == 3:
+            L = L[0]
+        flips = 0
+        for i in range(n):
+            p, s = int(plain_toks[i]), int(spec_toks[i])
+            if p == s:
+                continue
+            gap = abs(float(L[i, p]) - float(L[i, s]))
+            assert gap <= 1e-6, (
+                f"{what}: real divergence at {i}: plain {p} vs spec {s}, "
+                f"logit gap {gap}"
+            )
+            flips += 1
+            break  # past the first tie-flip the sequences legitimately differ
+        return flips
+
     for name, prompt in prompts.items():
         # plain greedy decode (the scan streams the cache once per token)
-        (plain,) = gen.generate_batch(
+        (plain,), plain_logits = gen.generate_batch(
+            [prompt], max_new_tokens=cli.gen, start=start, end=end,
+            return_logits=True,
+        )  # correctness capture (logits variant compiles separately)
+        gen.generate_batch(
             [prompt], max_new_tokens=cli.gen, start=start, end=end,
             return_logits=False,
-        )  # compile
+        )  # compile the timed variant
         times = []
         for _ in range(cli.reps):
             t0 = time.perf_counter()
@@ -121,7 +155,8 @@ def main():
             prompt, max_new_tokens=cli.gen, start=start, end=end,
             speculate_k=cli.k,
         )  # compile
-        assert list(spec) == list(np.asarray(plain)[0]), "lossless violated"
+        tie_flips = check_lossless(spec, np.asarray(plain), plain_logits,
+                                   "spec")
         times = []
         for _ in range(cli.reps):
             t0 = time.perf_counter()
@@ -138,6 +173,7 @@ def main():
             "speedup": round(plain_s / spec_s, 3),
             "tokens_per_round": round(cli.gen / rounds, 2),
             "rounds": int(rounds),
+            "tie_flips": tie_flips,
         }
 
         if draft is not None:
@@ -145,9 +181,7 @@ def main():
                 prompt, draft, max_new_tokens=cli.gen, start=start,
                 end=end, speculate_k=cli.k,
             )  # compile
-            assert list(dspec) == list(np.asarray(plain)[0]), (
-                "draft lossless violated"
-            )
+            check_lossless(dspec, np.asarray(plain), plain_logits, "draft")
             times = []
             for _ in range(cli.reps):
                 t0 = time.perf_counter()
