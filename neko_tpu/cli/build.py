@@ -222,6 +222,7 @@ def optimizer_config_from_args(args: TrainingArgs) -> OptimizerConfig:
         gradient_accumulation_steps=args.gradient_accumulation_steps,
         lora_only=bool(args.lora),
         ema_decay=args.ema_decay,
+        pipeline_microbatches=args.pipeline_microbatches,
     )
 
 
@@ -269,7 +270,15 @@ def build_context(
             f"context len {args.sequence_length} must divide evenly over "
             f"mesh_seq_axis={args.mesh_seq_axis} sequence shards"
         )
-    mesh = create_mesh(model=args.mesh_model_axis, seq=args.mesh_seq_axis)
+    if args.mesh_pipe_axis > 1:
+        assert args.layers % args.mesh_pipe_axis == 0, (
+            f"layers={args.layers} must split evenly into "
+            f"mesh_pipe_axis={args.mesh_pipe_axis} pipeline stages"
+        )
+    mesh = create_mesh(
+        model=args.mesh_model_axis, seq=args.mesh_seq_axis,
+        pipe=args.mesh_pipe_axis,
+    )
     ctx = TrainContext(model_cfg, opt_cfg, mesh, seed=args.seed)
     return ctx, tasks
 

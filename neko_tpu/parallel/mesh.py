@@ -20,21 +20,39 @@ def create_mesh(
     data: Optional[int] = None,
     model: int = 1,
     seq: int = 1,
+    pipe: int = 1,
     *,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Build a ('data', 'seq', 'model') mesh.
+    """Build a ('data', 'seq', 'model') mesh — ('data', 'pipe', ...) when
+    `pipe` > 1.
 
     data=None uses all remaining devices for the data axis.  `seq` > 1
     enables sequence (context) parallelism: activations shard their S dim
     over 'seq' and attention runs as ring attention over the axis
     (ops/ring_attention.py) — the long-context capability the reference
-    lacks (it truncates; SURVEY.md §5.7).  On multi-host TPU slices call
+    lacks (it truncates; SURVEY.md §5.7).  `pipe` > 1 enables GPipe
+    pipeline parallelism over the stack (parallel/pipeline.py); it
+    composes with 'data' only, so the pipe axis is innermost — stage
+    hand-offs between ICI neighbours.  On multi-host TPU slices call
     `jax.distributed.initialize()` first; `jax.devices()` then spans the
     full slice and the mesh rides ICI within a slice.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    if pipe > 1:
+        assert model == 1 and seq == 1, (
+            "pipeline parallelism composes with 'data' only "
+            "(parallel/pipeline.py module doc)"
+        )
+        if data is None:
+            assert n % pipe == 0, f"{n} devices not divisible by pipe={pipe}"
+            data = n // pipe
+        assert data * pipe == n, (
+            f"mesh {data}x{pipe} != {n} available devices"
+        )
+        arr = np.asarray(devices).reshape(data, pipe)
+        return Mesh(arr, ("data", "pipe"))
     if data is None:
         assert n % (model * seq) == 0, (
             f"{n} devices not divisible by model={model} * seq={seq}"

@@ -1,0 +1,267 @@
+"""Pipeline parallelism: GPipe microbatch schedule over a 'pipe' mesh axis.
+
+The reference carries only HF GPT-2's vestigial layer-wise
+`parallelize(device_map)` — blocks placed on successive `cuda:k` devices
+with synchronous inter-layer `.to(device)` hops, never invoked by
+train.py/eval.py (/root/reference/gato/transformers/trajectory_gpt2.py:
+559-589, 720-777).  This module is the real thing, TPU-style: transformer
+layers are grouped into `pipe` contiguous stages, the batch is split into
+microbatches, and the classic GPipe schedule (Huang et al. 2019) streams
+microbatches through the stages with `jax.lax.ppermute` hops over the
+'pipe' mesh axis inside one `shard_map` — so each tick every stage computes
+its resident microbatch while the activation handoffs ride ICI.  The
+whole schedule lives in one `lax.scan` over `n_micro + n_stages - 1`
+ticks; `jax.grad` through it yields the standard all-forward/all-backward
+GPipe with reversed ppermutes — no hand-written backward schedule.
+
+Composition and scope:
+
+* composes with data parallelism: the body is mapped over ('data', 'pipe')
+  and communicates only over 'pipe'; the shard_map transpose inserts the
+  gradient psum over 'data' automatically.
+* bubble fraction is the GPipe (n_stages - 1) / (n_micro + n_stages - 1);
+  pick n_micro >= n_stages for >=50% utilization of each stage.
+* tensor/sequence parallel inside a pipelined step are not composed here
+  (mesh must have model == seq == 1 when pipe > 1): inside shard_map the
+  Megatron collectives would have to be hand-written, and dp x pp already
+  covers the reference-scale models.  dp x tp x sp (no pipe) remains the
+  primary sharded train path (parallel/sharding.py).
+* per-layer dropout keys are folded from (microbatch, global layer), so
+  masks are independent across microbatches and layers; stochastic depth
+  is not supported under pipelining (its per-layer rate is a static Block
+  attribute — under the stage scan every layer would share one rate).
+
+Layout note: parameters stay in the canonical per-layer tree
+(transformer/h_{i}/...); the pipelined step stacks them to
+[n_stages, layers_per_stage, ...] under a `with_sharding_constraint` on
+'pipe' each step.  XLA turns that into one dynamic-slice per stage (each
+device keeps only its stage's slice live past the constraint), so
+checkpoints, GPT-2 import, LoRA freezing and the export tools all see the
+unchanged canonical tree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def pipe_axis_size(mesh: Optional[Mesh]) -> int:
+    """Size of the pipeline axis of a mesh (1 when absent)."""
+    if mesh is None:
+        return 1
+    return dict(mesh.shape).get("pipe", 1)
+
+
+def _stack_layers(tparams: Dict[str, Any], n_stages: int, layers: int):
+    """h_0..h_{L-1} param trees -> one tree with leading [n_stages, Lp]."""
+    per_layer = [tparams[f"h_{i}"] for i in range(layers)]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
+    lp = layers // n_stages
+    return jax.tree.map(
+        lambda a: a.reshape(n_stages, lp, *a.shape[1:]), stacked
+    )
+
+
+def pipeline_hidden(
+    cfg,
+    tparams: Dict[str, Any],
+    emb: jnp.ndarray,          # [B, S, D] embedded inputs (post embed-dropout)
+    input_mask: jnp.ndarray,   # [B, S] bool
+    *,
+    mesh: Mesh,
+    n_micro: int,
+    dropout_key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Run the Block stack as a GPipe pipeline over mesh axis 'pipe'.
+
+    Returns the final hidden state [B, S, D] (after ln_f), replicated over
+    'pipe' and sharded over 'data' exactly like the sequential
+    Transformer's output, so the LM head / loss run unchanged downstream.
+    """
+    import flax.linen as nn
+
+    from neko_tpu.models.transformer import Block
+
+    n_stages = pipe_axis_size(mesh)
+    shape = dict(mesh.shape)
+    assert n_stages > 1, "pipeline_hidden requires a mesh with pipe > 1"
+    assert shape.get("model", 1) == 1 and shape.get("seq", 1) == 1, (
+        "pipeline parallelism composes with 'data' only (see module doc)"
+    )
+    assert cfg.layers % n_stages == 0, (
+        f"layers={cfg.layers} not divisible by pipe={n_stages} stages"
+    )
+    assert cfg.stochastic_depth == 0.0, (
+        "stochastic depth is unsupported under pipeline parallelism"
+    )
+    lp = cfg.layers // n_stages
+    dp = shape.get("data", 1)
+    B = emb.shape[0]
+    assert B % (dp * n_micro) == 0, (
+        f"batch {B} must split into data={dp} shards x {n_micro} microbatches"
+    )
+
+    stacked = _stack_layers(tparams, n_stages, cfg.layers)
+    stacked = jax.lax.with_sharding_constraint(
+        stacked, NamedSharding(mesh, P("pipe"))
+    )
+
+    block_cls = Block
+    if cfg.remat:
+        import flax.linen as _nn
+
+        block_cls = _nn.remat(Block, prevent_cse=False)
+
+    deterministic = dropout_key is None
+    keydata = (
+        jax.random.key_data(dropout_key) if dropout_key is not None
+        else jnp.zeros((2,), jnp.uint32)
+    )
+
+    def body(stage_params, x_all, m_all, keydata):
+        # local views: stage_params [1, Lp, ...]; x_all [B/dp, S, D]
+        stage_params = jax.tree.map(lambda a: a[0], stage_params)
+        pid = jax.lax.axis_index("pipe")
+        bl = x_all.shape[0]
+        bm = bl // n_micro
+        xm = x_all.reshape(n_micro, bm, *x_all.shape[1:])
+        mm = m_all.reshape(n_micro, bm, m_all.shape[1])
+        key = None if deterministic else jax.random.wrap_key_data(keydata)
+
+        def stage_apply(x, m, mb_idx):
+            def layer(x, inp):
+                p_l, l_idx = inp
+                rngs = None
+                if key is not None:
+                    gl = pid * lp + l_idx
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(key, mb_idx), gl
+                    )
+                    rngs = {"dropout": k}
+                y = block_cls(
+                    cfg, deterministic=deterministic, mode="train",
+                ).apply({"params": p_l}, x, m, rngs=rngs)
+                return y, None
+
+            x, _ = jax.lax.scan(
+                layer, x, (stage_params, jnp.arange(lp))
+            )
+            return x
+
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        n_ticks = n_micro + n_stages - 1
+
+        def tick(carry, t):
+            sx, sm, outs = carry
+            inject = jnp.minimum(t, n_micro - 1)
+            is_first = pid == 0
+            x_in = jnp.where(is_first, xm[inject], sx)
+            m_in = jnp.where(is_first, mm[inject], sm)
+            # microbatch resident on this stage at tick t (clipped during
+            # the fill/drain bubble; those outputs are never used)
+            mb_idx = jnp.clip(t - pid, 0, n_micro - 1)
+            y = stage_apply(x_in, m_in, mb_idx)
+            # the last stage's steady-state outputs are the real ones;
+            # bubble-tick writes land on slot 0 and are overwritten by the
+            # true microbatch-0 result at t == n_stages - 1
+            out_idx = jnp.clip(t - (n_stages - 1), 0, n_micro - 1)
+            outs = jnp.where(
+                pid == n_stages - 1, outs.at[out_idx].set(y), outs
+            )
+            sx = jax.lax.ppermute(y, "pipe", perm)
+            sm = jax.lax.ppermute(m_in, "pipe", perm)
+            return (sx, sm, outs), None
+
+        carry = (jnp.zeros_like(xm[0]), jnp.zeros_like(mm[0]),
+                 jnp.zeros_like(xm))
+        (sx, sm, outs), _ = jax.lax.scan(tick, carry, jnp.arange(n_ticks))
+        outs = outs.reshape(x_all.shape)
+        # broadcast from the last stage so downstream (head/loss) sees the
+        # same replicated-over-pipe layout as the sequential transformer
+        outs = jax.lax.psum(
+            jnp.where(pid == n_stages - 1, outs, jnp.zeros_like(outs)),
+            "pipe",
+        )
+        return outs
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("pipe"), P("data"), P("data"), P()),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    hidden = fn(stacked, emb, input_mask, keydata)
+
+    ln_f = nn.LayerNorm(
+        epsilon=1e-5, dtype=cfg.activation_dtype,
+        param_dtype=cfg.params_dtype,
+    )
+    return ln_f.apply({"params": tparams["ln_f"]}, hidden)
+
+
+def pipelined_loss(
+    model,
+    params: Dict[str, Any],
+    batch,
+    *,
+    mesh: Mesh,
+    n_micro: int,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+    deterministic: bool = False,
+) -> jnp.ndarray:
+    """Full-model training loss with the Block stack pipelined over 'pipe'.
+
+    Mirrors NekoModel.__call__(compute_loss=True) (models/policy.py):
+    embed -> embed dropout -> [pipelined transformer] -> fused CE head.
+    The embed and head run replicated over 'pipe' (they are a small
+    fraction of step FLOPs; the stack dominates) and sharded over 'data'
+    as usual.
+    """
+    from neko_tpu.models.policy import LMHead, NekoModel
+    from neko_tpu.ops.dropout import materialized_dropout
+
+    cfg = model.cfg
+    emb = model.apply(
+        {"params": params},
+        batch,
+        deterministic=deterministic,
+        rngs=rngs,
+        method=NekoModel.embed_batch,
+    )
+    dropout_key = None
+    if not deterministic and rngs is not None and "dropout" in rngs:
+        ek, pk = jax.random.split(rngs["dropout"])
+        if cfg.dropout > 0.0:
+            emb = materialized_dropout(ek, emb, cfg.dropout)
+        dropout_key = pk
+    hidden = pipeline_hidden(
+        cfg,
+        params["transformer"],
+        emb,
+        batch.input_mask,
+        mesh=mesh,
+        n_micro=n_micro,
+        dropout_key=dropout_key,
+    )
+    head = LMHead(
+        in_features=cfg.embed_dim,
+        features=cfg.padded_vocab_size,
+        dtype=cfg.activation_dtype,
+        param_dtype=cfg.params_dtype,
+    )
+    hv = {"params": params["predict_token"]}
+    if batch.loss_pos is not None:
+        return head.apply(
+            hv, hidden, batch.loss_pos, batch.loss_tgt,
+            valid_vocab=cfg.vocab_size, method=LMHead.loss_gathered,
+        )
+    return head.apply(
+        hv, hidden, batch.tokens, batch.input_mask, batch.target_mask,
+        valid_vocab=cfg.vocab_size, method=LMHead.loss,
+    )

@@ -67,9 +67,28 @@ def param_pspecs(params) -> Any:
     return jax.tree_util.tree_map_with_path(param_pspec, params)
 
 
+def prune_spec(spec: P, mesh: Optional[Mesh]) -> P:
+    """Drop axes the mesh doesn't have (e.g. 'model' on a ('data','pipe')
+    pipeline mesh — parameters are then simply replicated on those dims)."""
+    if mesh is None:
+        return spec
+    names = set(mesh.axis_names)
+
+    def keep(entry):
+        if entry is None:
+            return None
+        if isinstance(entry, tuple):
+            kept = tuple(a for a in entry if a in names)
+            return kept if kept else None
+        return entry if entry in names else None
+
+    return P(*(keep(e) for e in spec))
+
+
 def param_shardings(mesh: Mesh, params) -> Any:
     return jax.tree_util.tree_map_with_path(
-        lambda p, v: NamedSharding(mesh, param_pspec(p, v)), params
+        lambda p, v: NamedSharding(mesh, prune_spec(param_pspec(p, v), mesh)),
+        params,
     )
 
 

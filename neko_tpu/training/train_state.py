@@ -68,6 +68,10 @@ class OptimizerConfig:
     # copy updates inside the compiled train step, rides the TrainState
     # through checkpoints, and serves eval via --use_ema.
     ema_decay: float = 0.0
+    # Microbatches per GPipe tick when the mesh has a 'pipe' axis > 1
+    # (parallel/pipeline.py).  Bubble fraction = (stages-1)/(micro+stages-1);
+    # ignored on meshes without pipeline parallelism.
+    pipeline_microbatches: int = 4
 
 
 def make_optimizer(cfg: OptimizerConfig) -> Tuple[optax.GradientTransformation, Callable]:
@@ -178,8 +182,9 @@ class TrainContext:
     def _state_pspec(self, path, value) -> P:
         # Param rules match by path suffix, so they apply equally to params
         # and to the param-shaped adam moments inside opt_state; scalars and
-        # RNG keys fall through to replicated.
-        return shd.param_pspec(path, value)
+        # RNG keys fall through to replicated.  Axes the mesh doesn't carry
+        # (e.g. 'model' on a pipeline mesh) are pruned to replicated.
+        return shd.prune_spec(shd.param_pspec(path, value), self.mesh)
 
     def state_shardings(self, state: TrainState):
         return jax.tree_util.tree_map_with_path(
@@ -197,6 +202,10 @@ class TrainContext:
     def _build_train_step(self, state: TrainState, batch: PackedBatch):
         model, tx = self.model, self.tx
 
+        from neko_tpu.parallel.pipeline import pipe_axis_size, pipelined_loss
+
+        n_pipe = pipe_axis_size(self.mesh)
+
         def step_fn(state: TrainState, batch: PackedBatch):
             step_key = jax.random.fold_in(
                 jax.random.key(state.seed), state.step
@@ -204,6 +213,15 @@ class TrainContext:
             dropout_rng, patch_rng = jax.random.split(step_key, 2)
 
             def loss_fn(params):
+                if n_pipe > 1:
+                    # GPipe microbatch schedule over the 'pipe' mesh axis
+                    # (parallel/pipeline.py)
+                    return pipelined_loss(
+                        model, params, batch,
+                        mesh=self.mesh,
+                        n_micro=self.opt_cfg.pipeline_microbatches,
+                        rngs={"dropout": dropout_rng, "patch_pos": patch_rng},
+                    )
                 _, loss = model.apply(
                     {"params": params},
                     batch,
