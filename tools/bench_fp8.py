@@ -25,6 +25,7 @@ through the tunnel cost minutes per process.
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -78,9 +79,13 @@ def micro(reps, d=4096, D=8192, total_mb=512):
     sb = scale.astype(jnp.bfloat16)
     s8b = scale8.astype(jnp.bfloat16)
 
-    def loop(dot, *ws):
-        @jax.jit
-        def run(x, iters):
+    def loop(dot):
+        # the weight pool is an ARGUMENT, not a closure: jit bakes
+        # closed-over concrete arrays into the HLO as constants, and a
+        # 512 MB constant blows the tunnel's remote_compile request
+        # limit (HTTP 413)
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def run(x, iters, *ws):
             def body(i, acc):
                 sl = [lax.dynamic_index_in_dim(w_, i % n, 0, keepdims=False)
                       for w_ in ws]
@@ -88,21 +93,21 @@ def micro(reps, d=4096, D=8192, total_mb=512):
             return lax.fori_loop(0, iters, body, jnp.float32(0.0))
         return run
 
-    run_bf16 = loop(lambda x, w_: (x @ w_).sum(), wb)
+    run_bf16 = loop(lambda x, w_: (x @ w_).sum())
     run_i8 = loop(lambda x, w_, s_: ((x @ w_.astype(jnp.bfloat16))
-                                     * s_[None, :]).sum(), wi, sb)
+                                     * s_[None, :]).sum())
     run_f8 = loop(lambda x, w_, s_: ((x @ w_.astype(jnp.bfloat16))
-                                     * s_[None, :]).sum(), wf8, s8b)
+                                     * s_[None, :]).sum())
 
     i1, i2 = 128, 384
     out = {}
-    for name, fn, src_bytes in [
-        ("bf16", run_bf16, d * D * 2),
-        ("int8", run_i8, d * D),
-        ("fp8_e4m3", run_f8, d * D),
+    for name, fn, ws, src_bytes in [
+        ("bf16", run_bf16, (wb,), d * D * 2),
+        ("int8", run_i8, (wi, sb), d * D),
+        ("fp8_e4m3", run_f8, (wf8, s8b), d * D),
     ]:
-        t1 = _median_time(lambda: float(fn(x, i1)), reps)
-        t2 = _median_time(lambda: float(fn(x, i2)), reps)
+        t1 = _median_time(lambda: float(fn(x, i1, *ws)), reps)
+        t2 = _median_time(lambda: float(fn(x, i2, *ws)), reps)
         t = (t2 - t1) / (i2 - i1)
         out[name] = {
             "ms": round(t * 1e3, 4),
