@@ -132,6 +132,26 @@ def test_pipeline_dropout_runs_and_varies():
     np.testing.assert_allclose(losses[0], losses[2], rtol=1e-6)
 
 
+def test_pipeline_with_remat_matches():
+    """Gradient checkpointing inside the stage scan: same loss as without."""
+    batch = make_batch(8)
+    mesh = create_mesh(data=2, pipe=4)
+    model = NekoModel(CFG)
+    params = model.init({"params": jax.random.key(0)}, batch)["params"]
+    plain = jax.jit(
+        lambda p, b: pipelined_loss(
+            model, p, b, mesh=mesh, n_micro=2, deterministic=True
+        )
+    )(params, batch)
+    model_r = NekoModel(CFG.replace(remat=True))
+    rem = jax.jit(
+        lambda p, b: pipelined_loss(
+            model_r, p, b, mesh=mesh, n_micro=2, deterministic=True
+        )
+    )(params, batch)
+    np.testing.assert_allclose(float(plain), float(rem), rtol=1e-6)
+
+
 def test_pipeline_guards():
     """Indivisible layers / composed model axis are rejected loudly."""
     batch = make_batch(8)
