@@ -271,15 +271,20 @@ def build_context(
             f"mesh_seq_axis={args.mesh_seq_axis} sequence shards"
         )
     if args.mesh_pipe_axis > 1:
-        assert args.layers % args.mesh_pipe_axis == 0, (
-            f"layers={args.layers} must split evenly into "
+        # check the RESOLVED layer count: --pretrained_lm overrides
+        # args.layers with the HF config's n_layer (model_config_from_args)
+        assert model_cfg.layers % args.mesh_pipe_axis == 0, (
+            f"layers={model_cfg.layers} must split evenly into "
             f"mesh_pipe_axis={args.mesh_pipe_axis} pipeline stages"
         )
     mesh = create_mesh(
         model=args.mesh_model_axis, seq=args.mesh_seq_axis,
         pipe=args.mesh_pipe_axis,
     )
-    ctx = TrainContext(model_cfg, opt_cfg, mesh, seed=args.seed)
+    ctx = TrainContext(
+        model_cfg, opt_cfg, mesh, seed=args.seed,
+        fsdp=getattr(args, "fsdp", False),
+    )
     return ctx, tasks
 
 

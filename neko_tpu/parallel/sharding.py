@@ -92,6 +92,51 @@ def param_shardings(mesh: Mesh, params) -> Any:
     )
 
 
+# --fsdp: minimum leaf size (elements) worth sharding over 'data'.  Below
+# this the per-use all-gather latency outweighs the memory win (LayerNorm
+# scales, biases, patch-conv kernels stay replicated; every matmul kernel,
+# embedding table and positional table is far above it).
+FSDP_MIN_SIZE = 1 << 16
+
+
+def fsdp_param_pspec(path, value, mesh: Optional[Mesh]) -> P:
+    """ZeRO-3/FSDP spec: the TP spec plus one eligible dim sharded on 'data'.
+
+    The reference's only distribution is DDP replication (Accelerate,
+    /root/reference/train.py:26-40): every rank holds full params + AdamW
+    moments.  Under --fsdp each large leaf additionally shards its largest
+    tensor-parallel-unsharded dim over the 'data' mesh axis; XLA/GSPMD then
+    emits the all-gather at each use site in the forward/backward and a
+    reduce-scatter for the gradients — ZeRO-3 semantics with no hand-written
+    collectives, and AdamW moments shard identically for free (the state
+    pspec rules are path-suffix matched, train_state.py::_state_pspec).
+    """
+    base = prune_spec(param_pspec(path, value), mesh)
+    if mesh is None:
+        return base
+    data = dict(mesh.shape).get("data", 1)
+    size = int(np_prod(value.shape)) if value.shape else 0
+    if data <= 1 or value.ndim == 0 or size < FSDP_MIN_SIZE:
+        return base
+    entries = list(base) + [None] * (value.ndim - len(base))
+    cand = [
+        i for i, e in enumerate(entries)
+        if e is None and value.shape[i] % data == 0
+    ]
+    if not cand:
+        return base
+    i = max(cand, key=lambda j: value.shape[j])
+    entries[i] = "data"
+    return P(*entries)
+
+
+def np_prod(shape) -> int:
+    out = 1
+    for s in shape:
+        out *= int(s)
+    return out
+
+
 # [B, S] fields whose sequence dim shards over 'seq' under sequence
 # parallelism (the patch pool and gathered-loss index arrays are pooled over
 # the whole batch, not laid out along S — they stay seq-replicated and XLA

@@ -130,6 +130,7 @@ class TrainingArgs:
     mesh_seq_axis: int = field(default=1, metadata={"help": "Sequence-parallel degree: shards the context dim over a 'seq' mesh axis and runs ring attention over it — trains contexts larger than one chip's attention memory (new capability; the reference truncates)."})
     mesh_pipe_axis: int = field(default=1, metadata={"help": "Pipeline-parallel degree: transformer layers split into this many stages and microbatches stream through them GPipe-style over a 'pipe' mesh axis (parallel/pipeline.py). Composes with data parallelism only; layers must divide evenly. The reference's layer-wise parallelize() is dead code (trajectory_gpt2.py:559-589)."})
     pipeline_microbatches: int = field(default=4, metadata={"help": "Microbatches per GPipe tick when mesh_pipe_axis > 1; per-host batch must divide by data_axis * this. Bubble fraction = (stages-1)/(this+stages-1)."})
+    fsdp: bool = field(default=False, metadata={"help": "ZeRO-3/FSDP: shard params, AdamW moments and the EMA shadow over the 'data' mesh axis too (parallel/sharding.py::fsdp_param_pspec); XLA emits the use-site all-gathers and gradient reduce-scatters. Cuts per-chip state memory ~data_axis-fold vs the reference's replicated DDP (train.py:26-40). Loss-identical to the replicated path (tests/test_fsdp.py)."})
     max_patches: int = field(default=-1, metadata={"help": "Static per-example image-patch budget; -1 = derive from tasks."})
     remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
     ema_decay: float = field(default=0.0, metadata={"help": "Exponential-moving-average of params, updated in the compiled train step (0 = off; typical 0.999-0.9999). The shadow copy rides checkpoints; evaluate with eval.py --use_ema. Capability beyond the reference."})

@@ -125,10 +125,15 @@ class TrainContext:
         opt_cfg: OptimizerConfig,
         mesh: Mesh,
         seed: int = 0,
+        fsdp: bool = False,
     ):
         self.model_cfg = model_cfg
         self.opt_cfg = opt_cfg
         self.mesh = mesh
+        # ZeRO-3: shard params + AdamW moments + EMA over 'data' too
+        # (parallel/sharding.py::fsdp_param_pspec); plain jit emits the
+        # use-site all-gathers and gradient reduce-scatters
+        self.fsdp = fsdp
         self.model = NekoModel(model_cfg)
         self.tx, self.schedule = make_optimizer(opt_cfg)
         from neko_tpu.training.schedulers import (
@@ -184,6 +189,8 @@ class TrainContext:
         # and to the param-shaped adam moments inside opt_state; scalars and
         # RNG keys fall through to replicated.  Axes the mesh doesn't carry
         # (e.g. 'model' on a pipeline mesh) are pruned to replicated.
+        if self.fsdp:
+            return shd.fsdp_param_pspec(path, value, self.mesh)
         return shd.prune_spec(shd.param_pspec(path, value), self.mesh)
 
     def state_shardings(self, state: TrainState):
