@@ -94,6 +94,35 @@ def globalize_arrays(
     return out
 
 
+def eval_replica(mesh, params):
+    """Device-side replica of pod-sharded params for main-process eval.
+
+    One jitted identity with fully-replicated out-shardings makes XLA emit
+    the all-gather over ICI; the returned tree holds THIS process's local
+    on-device view (`addressable_shards[0].data` — zero-copy single-device
+    arrays the Generator's jitted decode consumes directly).  Unlike
+    `multihost_utils.process_allgather` this never copies params to host
+    memory on ANY process: the main process keeps one on-device replica for
+    the decode-loop eval, non-main processes drop the result immediately
+    (dropping the tree frees their transient device buffers).  Every process
+    MUST call this (it is a collective).
+
+    The reference evaluates under DDP where every rank already holds a host
+    replica (/root/reference/gato/training/trainer.py:83-103); here the
+    steady-state layout can be pod-sharded (--fsdp / tensor parallel), so
+    the replica is formed only when eval needs it and lives only on device.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P()), params
+    )
+    rep = jax.jit(lambda t: t, out_shardings=rep_sh)(params)
+    return jax.tree_util.tree_map(
+        lambda x: x.addressable_shards[0].data, rep
+    )
+
+
 def form_global_batch(mesh, batch, process_count: int = None):
     """Assemble a global PackedBatch from this process's local shard.
 

@@ -417,23 +417,19 @@ class Trainer:
         params = self.state.params
         if self.proc_count > 1:
             # multi-host: the decode-loop eval runs per-host and cannot
-            # consume pod-sharded params, so gather a full replica to every
-            # host (a collective — ALL processes must reach this line) and
-            # evaluate on the main process only.  The reference evaluates
-            # in-loop under DDP where every rank already holds a replica
+            # consume pod-sharded params.  Form a DEVICE-side replica (one
+            # XLA all-gather — a collective, ALL processes must reach this
+            # line) and evaluate on the main process only; no process copies
+            # params to host memory, and non-main processes drop their
+            # transient buffers immediately (multihost.py::eval_replica).
+            # The reference evaluates in-loop under DDP where every rank
+            # already holds a host replica
             # (/root/reference/gato/training/trainer.py:83-103).
-            from jax.experimental import multihost_utils
+            from neko_tpu.parallel import multihost as mh
 
-            # per-leaf: only leaves with remote shards need the collective;
-            # fully-addressable leaves pass through (process_allgather would
-            # stack a bogus leading axis on those)
-            params = jax.tree_util.tree_map(
-                lambda x: x
-                if getattr(x, "is_fully_addressable", True)
-                else multihost_utils.process_allgather(x, tiled=True),
-                params,
-            )
+            params = mh.eval_replica(self.ctx.mesh, params)
             if not self.is_main_process:
+                del params
                 return logs
         # reuse one Generator so its jitted prefill/decode stay cached
         # (a fresh instance would recompile every evaluation); hold the

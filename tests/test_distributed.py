@@ -87,3 +87,96 @@ def test_two_process_training(tmp_path):
     assert "train_loss_mean" not in outs[1], outs[1][-4000:]
     # multi-host in-training eval: metrics from the gathered-params path
     assert "evaluation/text/perplexity" in outs[0], outs[0][-4000:]
+
+
+_EVAL_REPLICA_SCRIPT = r"""
+import os
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PID"]),
+)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from neko_tpu.parallel import multihost as mh
+from neko_tpu.parallel.mesh import create_mesh
+
+pid = jax.process_index()
+mesh = create_mesh()  # 4 global cpu devices -> data=4
+
+def build():
+    return {
+        "w": jnp.arange(4 * 64, dtype=jnp.float32).reshape(4, 64),
+        "b": jnp.arange(8, dtype=jnp.float32),
+    }
+
+params = jax.jit(
+    build,
+    out_shardings={
+        "w": NamedSharding(mesh, P("data", None)),
+        "b": NamedSharding(mesh, P()),
+    },
+)()
+assert not params["w"].is_fully_addressable
+
+local = mh.eval_replica(mesh, params)
+for name, leaf in local.items():
+    # the contract under test: the result is an on-device, single-device,
+    # fully-addressable jax.Array on EVERY process — never a host copy
+    assert isinstance(leaf, jax.Array), (name, type(leaf))
+    assert leaf.is_fully_addressable, name
+    assert len(leaf.devices()) == 1, (name, leaf.devices())
+if pid == 0:
+    # content check (materializing on the MAIN process is the point)
+    np.testing.assert_array_equal(
+        np.asarray(local["w"]),
+        np.arange(4 * 64, dtype=np.float32).reshape(4, 64),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(local["b"]), np.arange(8, dtype=np.float32)
+    )
+print(f"EVAL_REPLICA_OK_{pid}")
+"""
+
+
+@pytest.mark.skipif(
+    os.environ.get("NEKO_TEST_TPU"),
+    reason="two CPU processes; the TPU chip cannot be opened twice",
+)
+def test_eval_replica_two_process():
+    """multihost.eval_replica: pod-sharded params -> on-device local replica
+    with NO host copy on any process (trainer.py multi-host eval path)."""
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            COORD=f"localhost:{port}",
+            PID=str(pid),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", _EVAL_REPLICA_SCRIPT],
+                cwd=REPO,
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=180)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+        assert f"EVAL_REPLICA_OK_{pid}" in out
