@@ -152,6 +152,43 @@ def test_pipeline_with_remat_matches():
     np.testing.assert_allclose(float(plain), float(rem), rtol=1e-6)
 
 
+def test_pipeline_composes_with_fsdp():
+    """dp x pp x fsdp: ZeRO-3 state sharding over 'data' under the pipeline
+    mesh — the memory story for PP (params/moments replicated over 'pipe'
+    save nothing; --fsdp shards them over 'data').  Loss trajectory must
+    match the replicated pipeline path, and a large leaf must actually
+    shard (the tiny CFG stays below FSDP_MIN_SIZE, so use a wider one)."""
+    from neko_tpu.parallel import sharding as shd
+
+    cfg = CFG.replace(embed_dim=128, layers=4, heads=4)
+    p = SequencePacker(cfg)
+    rng = np.random.RandomState(0)
+    examples = [
+        {"text": list(rng.randint(1, 200, size=5))} for _ in range(8)
+    ]
+    arrays = p.pack_batch(examples)
+    arrays.pop("lengths")
+    batch = to_device_batch(arrays)
+
+    mesh = create_mesh(data=2, pipe=4)
+    ctx_r = TrainContext(cfg, OPT, mesh, seed=0)
+    s_r = ctx_r.init_state(shd.shard_batch(mesh, batch))
+    ctx_f = TrainContext(cfg, OPT, mesh, seed=0, fsdp=True)
+    s_f = ctx_f.init_state(shd.shard_batch(mesh, batch))
+
+    kern = s_f.params["transformer"]["h_0"]["mlp"]["c_fc"]["kernel"]
+    flat = [
+        a for e in kern.sharding.spec if e is not None
+        for a in (e if isinstance(e, tuple) else (e,))
+    ]
+    assert "data" in flat, kern.sharding.spec
+
+    for _ in range(3):
+        s_r, l_r = ctx_r.train_step(s_r, shd.shard_batch(mesh, batch))
+        s_f, l_f = ctx_f.train_step(s_f, shd.shard_batch(mesh, batch))
+        np.testing.assert_allclose(float(l_r), float(l_f), rtol=2e-5)
+
+
 def test_pipeline_guards():
     """Indivisible layers / composed model axis are rejected loudly."""
     batch = make_batch(8)
