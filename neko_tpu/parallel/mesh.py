@@ -32,25 +32,34 @@ def create_mesh(
     over 'seq' and attention runs as ring attention over the axis
     (ops/ring_attention.py) — the long-context capability the reference
     lacks (it truncates; SURVEY.md §5.7).  `pipe` > 1 enables GPipe
-    pipeline parallelism over the stack (parallel/pipeline.py); it
-    composes with 'data' only, so the pipe axis is innermost — stage
-    hand-offs between ICI neighbours.  On multi-host TPU slices call
-    `jax.distributed.initialize()` first; `jax.devices()` then spans the
-    full slice and the mesh rides ICI within a slice.
+    pipeline parallelism over the stack (parallel/pipeline.py) on a
+    ('data', 'pipe') mesh — or ('data', 'pipe', 'model') when model > 1:
+    the pipelined step is manual only over 'pipe' (shard_map axis_names)
+    and GSPMD lays Megatron tensor parallelism over the innermost 'model'
+    axis inside each stage.  `seq` does not compose with `pipe` (ring
+    attention is its own shard_map over 'seq'; nesting manual collectives
+    inside the pipe schedule is not supported).  On multi-host TPU slices
+    call `jax.distributed.initialize()` first; `jax.devices()` then spans
+    the full slice and the mesh rides ICI within a slice.
     """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if pipe > 1:
-        assert model == 1 and seq == 1, (
-            "pipeline parallelism composes with 'data' only "
-            "(parallel/pipeline.py module doc)"
+        assert seq == 1, (
+            "pipeline parallelism does not compose with sequence "
+            "parallelism (parallel/pipeline.py module doc)"
         )
         if data is None:
-            assert n % pipe == 0, f"{n} devices not divisible by pipe={pipe}"
-            data = n // pipe
-        assert data * pipe == n, (
-            f"mesh {data}x{pipe} != {n} available devices"
+            assert n % (pipe * model) == 0, (
+                f"{n} devices not divisible by pipe={pipe} * model={model}"
+            )
+            data = n // (pipe * model)
+        assert data * pipe * model == n, (
+            f"mesh {data}x{pipe}x{model} != {n} available devices"
         )
+        if model > 1:
+            arr = np.asarray(devices).reshape(data, pipe, model)
+            return Mesh(arr, ("data", "pipe", "model"))
         arr = np.asarray(devices).reshape(data, pipe)
         return Mesh(arr, ("data", "pipe"))
     if data is None:

@@ -16,16 +16,25 @@ GPipe with reversed ppermutes — no hand-written backward schedule.
 
 Composition and scope:
 
-* composes with data parallelism: the body is mapped over ('data', 'pipe')
-  and communicates only over 'pipe'; the shard_map transpose inserts the
-  gradient psum over 'data' automatically.
+* the shard_map is manual ONLY over 'pipe' (`axis_names={'pipe'}`): every
+  other mesh axis stays under GSPMD inside the body, so data parallelism
+  (batch dims constrained to 'data') and Megatron tensor parallelism (the
+  stacked stage params keep their parallel/sharding.py 'model' specs) both
+  compose with the schedule without hand-written collectives — GSPMD emits
+  the per-block TP all-reduces inside each stage tick and the gradient
+  psum over 'data' in the transpose.
 * bubble fraction is the GPipe (n_stages - 1) / (n_micro + n_stages - 1);
-  pick n_micro >= n_stages for >=50% utilization of each stage.
-* tensor/sequence parallel inside a pipelined step are not composed here
-  (mesh must have model == seq == 1 when pipe > 1): inside shard_map the
-  Megatron collectives would have to be hand-written, and dp x pp already
-  covers the reference-scale models.  dp x tp x sp (no pipe) remains the
-  primary sharded train path (parallel/sharding.py).
+  pick n_micro >= n_stages for >=50% utilization of each stage.  Measured
+  realized bubble and activation-memory growth vs n_micro:
+  tools/measure_pipeline.py (results in PROFILE.md).
+* sequence parallelism does not compose (mesh must have seq == 1 when
+  pipe > 1): ring attention is its own manual shard_map over 'seq', and
+  nesting a second manual axis inside the pipe schedule is unsupported.
+* memory: params and optimizer state stay replicated over 'pipe' (the
+  canonical per-layer tree is the checkpoint/interop layout); PP here
+  distributes compute and activations, not parameter memory — combine
+  with --fsdp to shard params/moments over 'data' (tests/test_pipeline.py
+  ::test_pipeline_composes_with_fsdp).
 * per-layer dropout keys are folded from (microbatch, global layer), so
   masks are independent across microbatches and layers; stochastic depth
   is not supported under pipelining (its per-layer rate is a static Block
@@ -67,6 +76,21 @@ def _stack_layers(tparams: Dict[str, Any], n_stages: int, layers: int):
     )
 
 
+def _stacked_shardings(mesh: Mesh, stacked):
+    """Shardings for the stacked [n_stages, Lp, ...] tree: 'pipe' on the
+    stage dim plus the leaf's Megatron 'model' spec (parallel/sharding.py)
+    on its own dims — so tensor parallelism survives the stacking and GSPMD
+    lays TP collectives inside each stage."""
+    from neko_tpu.parallel.sharding import param_pspec, prune_spec
+
+    def leaf(path, v):
+        base = prune_spec(param_pspec(path, v), mesh)
+        # the stacked leaf has 2 leading dims (stage, layer-in-stage)
+        return NamedSharding(mesh, P("pipe", None, *base))
+
+    return jax.tree_util.tree_map_with_path(leaf, stacked)
+
+
 def pipeline_hidden(
     cfg,
     tparams: Dict[str, Any],
@@ -90,8 +114,8 @@ def pipeline_hidden(
     n_stages = pipe_axis_size(mesh)
     shape = dict(mesh.shape)
     assert n_stages > 1, "pipeline_hidden requires a mesh with pipe > 1"
-    assert shape.get("model", 1) == 1 and shape.get("seq", 1) == 1, (
-        "pipeline parallelism composes with 'data' only (see module doc)"
+    assert shape.get("seq", 1) == 1, (
+        "pipeline parallelism does not compose with 'seq' (see module doc)"
     )
     assert cfg.layers % n_stages == 0, (
         f"layers={cfg.layers} not divisible by pipe={n_stages} stages"
@@ -108,7 +132,7 @@ def pipeline_hidden(
 
     stacked = _stack_layers(tparams, n_stages, cfg.layers)
     stacked = jax.lax.with_sharding_constraint(
-        stacked, NamedSharding(mesh, P("pipe"))
+        stacked, _stacked_shardings(mesh, stacked)
     )
 
     block_cls = Block
@@ -123,14 +147,30 @@ def pipeline_hidden(
         else jnp.zeros((2,), jnp.uint32)
     )
 
+    act_dtype = emb.dtype
+
     def body(stage_params, x_all, m_all, keydata):
-        # local views: stage_params [1, Lp, ...]; x_all [B/dp, S, D]
+        # manual ONLY over 'pipe': stage_params [1, Lp, ...] is this stage's
+        # slice; x_all/m_all keep their GLOBAL batch shape, with 'data' (and
+        # 'model', via the param shardings) handled by GSPMD inside
+        #
+        # x_all arrives fp32 and is cast here so the shard_map TRANSPOSE's
+        # emb-grad psum over 'pipe' runs in fp32: a bf16 psum over a manual
+        # axis lowers to an all-reduce whose reduction region is copy-rooted,
+        # and XLA:CPU's AllReducePromotion pass CHECK-crashes cloning it
+        # ("Invalid binary instruction opcode copy", hlo_instruction.cc:1585)
+        # — fp32 regions skip the promotion pass entirely.  One convert per
+        # step; harmless on TPU.
+        x_all = x_all.astype(act_dtype)
         stage_params = jax.tree.map(lambda a: a[0], stage_params)
         pid = jax.lax.axis_index("pipe")
-        bl = x_all.shape[0]
-        bm = bl // n_micro
+        bm = x_all.shape[0] // n_micro
         xm = x_all.reshape(n_micro, bm, *x_all.shape[1:])
         mm = m_all.reshape(n_micro, bm, m_all.shape[1])
+        # keep the batch dim of each microbatch on 'data' (the reshape
+        # split B -> (n_micro, bm) must not shard the microbatch index)
+        xm = jax.lax.with_sharding_constraint(xm, P(None, "data"))
+        mm = jax.lax.with_sharding_constraint(mm, P(None, "data"))
         key = None if deterministic else jax.random.wrap_key_data(keydata)
 
         def stage_apply(x, m, mb_idx):
@@ -183,20 +223,27 @@ def pipeline_hidden(
         outs = outs.reshape(x_all.shape)
         # broadcast from the last stage so downstream (head/loss) sees the
         # same replicated-over-pipe layout as the sequential transformer
+        # fp32 for the same AllReducePromotion reason as the x_all cast
         outs = jax.lax.psum(
-            jnp.where(pid == n_stages - 1, outs, jnp.zeros_like(outs)),
+            jnp.where(
+                pid == n_stages - 1, outs, jnp.zeros_like(outs)
+            ).astype(jnp.float32),
             "pipe",
-        )
+        ).astype(act_dtype)
         return outs
 
     fn = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P("pipe"), P("data"), P("data"), P()),
-        out_specs=P("data"),
+        in_specs=(P("pipe"), P(), P(), P()),
+        out_specs=P(),
+        axis_names={"pipe"},
         check_vma=False,
     )
-    hidden = fn(stacked, emb, input_mask, keydata)
+    hidden = fn(stacked, emb.astype(jnp.float32), input_mask, keydata)
+    hidden = jax.lax.with_sharding_constraint(
+        hidden, NamedSharding(mesh, P("data"))
+    )
 
     ln_f = nn.LayerNorm(
         epsilon=1e-5, dtype=cfg.activation_dtype,

@@ -66,8 +66,80 @@ def test_pipe_mesh_shape():
     assert dict(mesh.shape) == {"data": 2, "pipe": 4}
     assert pipe_axis_size(mesh) == 4
     assert pipe_axis_size(create_mesh(data=4, model=2)) == 1
+    # pipe x tp composes on a ('data', 'pipe', 'model') mesh
+    mesh3 = create_mesh(data=2, pipe=2, model=2)
+    assert dict(mesh3.shape) == {"data": 2, "pipe": 2, "model": 2}
+    # seq does not compose with pipe
     with pytest.raises(AssertionError):
-        create_mesh(model=2, pipe=2, data=2)
+        create_mesh(seq=2, pipe=2, data=2)
+
+
+def test_pipeline_composes_with_tensor_parallel():
+    """dp x pp x tp: the pipelined step is manual only over 'pipe'
+    (shard_map axis_names), so GSPMD lays the Megatron 'model' shardings
+    inside each stage.  Loss must match the sequential single-device
+    forward, and training must track the dp-x-pp-only trajectory."""
+    batch = make_batch(8)
+    model = NekoModel(CFG)
+    params = model.init({"params": jax.random.key(0)}, batch)["params"]
+    _, seq_loss = model.apply(
+        {"params": params}, batch, compute_loss=True, deterministic=True
+    )
+
+    mesh = create_mesh(data=2, pipe=2, model=2)
+    with mesh:
+        pipe_loss = jax.jit(
+            lambda p, b: pipelined_loss(
+                model, p, b, mesh=mesh, n_micro=2, deterministic=True
+            )
+        )(params, batch)
+    np.testing.assert_allclose(
+        float(seq_loss), float(pipe_loss), rtol=2e-5
+    )
+
+    from neko_tpu.parallel import sharding as shd
+
+    mesh_ref = create_mesh(data=2, pipe=4)
+    ctx_ref = TrainContext(CFG, OPT, mesh_ref, seed=0)
+    s_ref = ctx_ref.init_state(shd.shard_batch(mesh_ref, make_batch(8)))
+    ctx_tp = TrainContext(CFG, OPT, mesh, seed=0)
+    s_tp = ctx_tp.init_state(shd.shard_batch(mesh, make_batch(8)))
+    for _ in range(3):
+        s_ref, l_ref = ctx_ref.train_step(
+            s_ref, shd.shard_batch(mesh_ref, make_batch(8))
+        )
+        s_tp, l_tp = ctx_tp.train_step(
+            s_tp, shd.shard_batch(mesh, make_batch(8))
+        )
+        np.testing.assert_allclose(float(l_ref), float(l_tp), rtol=2e-5)
+
+
+def test_pipeline_bf16_trains_on_cpu_backend():
+    """bf16 psums over the manual 'pipe' axis lower to all-reduces with
+    copy-rooted reduction regions; XLA:CPU's AllReducePromotion pass
+    CHECK-crashes cloning those ("Invalid binary instruction opcode copy").
+    pipeline_hidden routes the manual-axis psums through fp32 — this test
+    is the regression guard (the crash is a process ABORT, so before the
+    fix this killed the whole pytest run)."""
+    cfg = ModelConfig(
+        embed_dim=32, layers=4, heads=4, dropout=0.0, context_len=32,
+        max_patches=2, dtype="bfloat16", text_tokens=256,
+        continuous_tokens=64, discrete_tokens=64,
+    )
+    p = SequencePacker(cfg)
+    rng = np.random.RandomState(0)
+    examples = [{"text": list(rng.randint(1, 200, size=5))} for _ in range(8)]
+    arrays = p.pack_batch(examples)
+    arrays.pop("lengths")
+    from neko_tpu.parallel import sharding as shd
+
+    for data, pipe, model in ((4, 2, 1), (2, 2, 2)):
+        mesh = create_mesh(data=data, pipe=pipe, model=model)
+        ctx = TrainContext(cfg, OPT, mesh, seed=0)
+        batch = shd.shard_batch(mesh, to_device_batch(arrays))
+        state = ctx.init_state(batch)
+        state, loss = ctx.train_step(state, batch)
+        assert np.isfinite(float(loss))
 
 
 def test_pipelined_loss_matches_sequential():
