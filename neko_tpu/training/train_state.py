@@ -206,6 +206,14 @@ class TrainContext:
         with self.mesh:
             return self._train_step(state, batch)
 
+    def train_step_lowered(self, state: TrainState, batch: PackedBatch):
+        """AOT lowering of the jitted train step — for compiled-memory /
+        cost analysis (tools/measure_pipeline.py) without running it."""
+        if self._train_step is None:
+            self._train_step = self._build_train_step(state, batch)
+        with self.mesh:
+            return self._train_step.lower(state, batch)
+
     def _build_train_step(self, state: TrainState, batch: PackedBatch):
         model, tx = self.model, self.tx
 

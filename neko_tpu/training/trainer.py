@@ -102,28 +102,49 @@ class Trainer:
 
         self._sample_lock = threading.Lock()
 
+    def _component_counts(self):
+        """Base per-component row counts and the EXACT residual remainder.
+
+        _mixture_sizes assigns int(prop * bs) rows per component and hands
+        the whole remainder to exactly ONE component per step — so the
+        worst-case static budgets below add the remainder to whichever
+        single component maximizes the cost, not to all of them (the old
+        +3-everywhere bound pushed the flagship mixture's target budget
+        past the dense-loss cutoff and cost ~20 ms/step in chunked-loss
+        remat; measured in the r4 trainer-run trace)."""
+        bs = self.local_batch_size
+        base = {
+            "text": int(self.args.text_prop * bs) if self.text_tasks else 0,
+            "caption": int(self.args.caption_prop * bs) if self.caption_tasks else 0,
+            "vqa": int(self.args.vqa_prop * bs) if self.vqa_tasks else 0,
+        }
+        control_prop = (
+            1 - self.args.text_prop - self.args.caption_prop
+            - self.args.vqa_prop
+        )
+        base["control"] = int(control_prop * bs) if self.control_tasks else 0
+        remainder = bs - sum(base.values())
+        return base, remainder
+
     def _compute_patch_budget(self) -> int:
         """Worst-case total image patches in one mixture batch, kept constant
         across steps so the compiled step never reshapes (see the global
         patch pool in data/batch.py).  Computed from the LOCAL (per-host)
         slice; the global pool is the process-concatenation."""
-        bs = self.local_batch_size
-        # upper bounds per component: the multinomial residual hands the
-        # ENTIRE remainder (up to 3 with 4 fractional parts) to one component
-        R = 3
-        n_caption = int(self.args.caption_prop * bs) + R if self.caption_tasks else 0
-        n_vqa = int(self.args.vqa_prop * bs) + R if self.vqa_tasks else 0
-        control_prop = 1 - self.args.text_prop - self.args.caption_prop - self.args.vqa_prop
-        n_control = int(control_prop * bs) + R if self.control_tasks else 0
-
-        budget = 0
+        base, remainder = self._component_counts()
+        per_row = {"text": 0, "caption": 0, "vqa": 0, "control": 0}
         ctrl_patches = [t.required_patches for t in self.control_tasks]
         if ctrl_patches and max(ctrl_patches) > 0:
-            budget += n_control * max(ctrl_patches)
+            per_row["control"] = max(ctrl_patches)
         if self.caption_tasks:
-            budget += n_caption * max(t.patches_per_image for t in self.caption_tasks)
+            per_row["caption"] = max(
+                t.patches_per_image for t in self.caption_tasks
+            )
         if self.vqa_tasks:
-            budget += n_vqa * max(t.patches_per_image for t in self.vqa_tasks)
+            per_row["vqa"] = max(t.patches_per_image for t in self.vqa_tasks)
+        budget = sum(base[c] * per_row[c] for c in base)
+        # the remainder lands on one component: take the costliest recipient
+        budget += remainder * max(per_row.values())
         if budget == 0:
             return 0
         return -(-budget // 256) * 256  # round up for clean 'data' sharding
@@ -133,16 +154,10 @@ class Trainer:
         (ops/losses.py::gathered_masked_xent); 0 -> dense loss."""
         bs = self.local_batch_size
         S = self.args.sequence_length
-        R = 3  # remainder can land entirely on one component
-        n_text = int(self.args.text_prop * bs) + R if self.text_tasks else 0
-        n_caption = int(self.args.caption_prop * bs) + R if self.caption_tasks else 0
-        n_vqa = int(self.args.vqa_prop * bs) + R if self.vqa_tasks else 0
-        control_prop = 1 - self.args.text_prop - self.args.caption_prop - self.args.vqa_prop
-        n_control = int(control_prop * bs) + R if self.control_tasks else 0
-
-        budget = n_text * (S - 1)
+        base, remainder = self._component_counts()
+        per_row = {"text": S - 1, "caption": 0, "vqa": 0, "control": 0}
         if self.control_tasks:
-            budget += n_control * max(
+            per_row["control"] = max(
                 t.context_timesteps * (
                     t.action_tokens
                     # --observation_loss: obs tokens are targets too
@@ -155,15 +170,31 @@ class Trainer:
                 )
                 for t in self.control_tasks
             )
-        for tasks, n in ((self.caption_tasks, n_caption), (self.vqa_tasks, n_vqa)):
+        for key, tasks in (("caption", self.caption_tasks), ("vqa", self.vqa_tasks)):
             if tasks:
-                budget += n * max(
-                    S - t.patches_per_image - 1 for t in tasks
-                )
+                per_row[key] = max(S - t.patches_per_image - 1 for t in tasks)
+        budget = sum(base[c] * per_row[c] for c in base if self._has_tasks(c))
+        budget += remainder * max(
+            (per_row[c] for c in base if self._has_tasks(c)), default=0
+        )
         budget = -(-budget // 256) * 256
-        if budget >= 0.75 * bs * S:
-            return 0  # gathering wouldn't pay; use the dense chunked loss
+        # dense only when gathering projects no fewer positions than the
+        # dense head already does: the gathered path's custom VJP also skips
+        # the chunked loss's checkpoint-remat (a second full [C,V] pass +
+        # logsumexp re-reduction in the backward), so it wins essentially
+        # until budget == bs*S.  Measured at the flagship mixture (r4):
+        # dense ~41 ms of loss-head work vs ~22 gathered at 12k targets.
+        if budget >= bs * S:
+            return 0
         return budget
+
+    def _has_tasks(self, component: str) -> bool:
+        return bool({
+            "text": self.text_tasks,
+            "caption": self.caption_tasks,
+            "vqa": self.vqa_tasks,
+            "control": self.control_tasks,
+        }[component])
 
     # ----------------------------------------------------------- lifecycle
     def init_state(self, init_state: Optional[TrainState] = None):
