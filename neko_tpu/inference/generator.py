@@ -711,13 +711,15 @@ class Generator:
         """Device loop: one extend_step verifies a0 + K proposals per round,
         batched over rows with per-row positions and acceptance.
 
-        Cache discipline: round r writes chunk k/v at [pos, pos+K]; only the
-        accepted prefix is valid, but the NEXT round's extend_step clears
-        [pos', pos'+K] (pos' = pos + accepted + 1 <= pos+K+1) before anything
-        later attends it, so stale entries are never visible — the same
-        eviction argument as the rollout cache (models/transformer.py
-        'extend' branch).  Finished rows PARK: pos/emitted stop advancing
-        and they keep re-verifying their final chunk in place."""
+        Cache discipline (APPEND-mode extend): round r writes chunk k/v at
+        [pos, pos+K]; only the accepted prefix is valid, but the NEXT
+        round's writes at [pos', pos'+K] (pos' = pos + accepted + 1 <=
+        pos+K+1) COVER the stale tail, and validity is the iota compare
+        col <= pos'+i, so stale entries are never attended — no eviction
+        scatter or chunk-causality mask needed (models/transformer.py
+        'extend' branch, extend_clear=None).  Finished rows PARK:
+        pos/emitted stop advancing and they keep re-verifying their final
+        chunk in place."""
         S = self.cfg.context_len
         N, Hlen = hist.shape
         rows = jnp.arange(N)
@@ -780,7 +782,7 @@ class Generator:
             )
             logits, vars_ = self.model.apply(
                 {"params": p, "cache": cache},
-                emb, pos, pos, K + 1, S,
+                emb, pos,  # append mode: monotone writes cover stale tails
                 method=NekoModel.extend_step, mutable=["cache"],
             )
             cache = vars_["cache"]
@@ -874,11 +876,12 @@ class Generator:
 
         This preserves the target distribution EXACTLY whatever the draft
         (greedy mode: every emitted token verified equal to target
-        argmax).  Cache discipline matches _spec_decode_impl: both caches
-        write chunks at [pos, pos+K] and the next round clears that span
-        before anything attends it (the draft's a0-ingestion runs as an
-        extend_step with clear_len=K+1 so its stale proposal tail from
-        the previous round is never attended)."""
+        argmax).  Cache discipline: the TARGET verify extend runs in
+        APPEND mode (see _spec_decode_impl — monotone writes cover stale
+        tails).  The DRAFT keeps the RING extend with clear_len=K+1 for
+        its a0-ingestion: its subsequent decode_steps read the cache MASK,
+        which only the ring path maintains, and the clear wipes the stale
+        proposal tail from the previous round."""
         from neko_tpu.inference import quant
 
         S = self.cfg.context_len
@@ -967,7 +970,7 @@ class Generator:
             )
             logits, vars_ = self.model.apply(
                 {"params": p_t, "cache": cache},
-                emb, pos, pos, K + 1, S,
+                emb, pos,  # append mode: monotone writes cover stale tails
                 method=NekoModel.extend_step, mutable=["cache"],
             )
             cache = vars_["cache"]

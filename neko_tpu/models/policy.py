@@ -216,21 +216,33 @@ class NekoModel(nn.Module):
         self,
         emb: jnp.ndarray,          # [B, K, D] chunk of new-token embeddings
         start: jnp.ndarray,        # int32[B] ring position of chunk token 0
-        clear_start: jnp.ndarray,  # int32[B] evicted-slot start position
-        clear_len: int,            # static: tokens per timestep
-        buffer_len: int,           # static: ring size (ctx_ts * clear_len)
+        clear_start=None,          # int32[B] evicted-slot start; None=append
+        clear_len: int = 0,        # static: tokens per timestep
+        buffer_len: int = 0,       # static: ring size (ctx_ts * clear_len)
     ) -> jnp.ndarray:
-        """Chunked append into the ring KV cache (rollout cache): evict one
-        timestep slot, write K tokens at (start + i) % buffer_len, and return
-        fp32 logits [B, K, V] for the chunk.  See the 'extend' branch of
-        models/transformer.py::Attention for why ring eviction is exact."""
+        """Chunked append into the KV cache; fp32 logits [B, K, V].
+
+        clear_start given → RING mode (rollout cache): evict one timestep
+        slot, write K tokens at (start + i) % buffer_len.  See the 'extend'
+        branch of models/transformer.py::Attention for why ring eviction is
+        exact.
+
+        clear_start=None → APPEND mode (speculative verify rounds): writes
+        at monotone [start, start+K), validity by iota compare.  Requires
+        right-padded prompts, no context overflow, and successive rounds
+        whose writes cover the stale rejected tail — generate_spec's loop
+        guarantees all three.  The cache 'mask' variable is NOT maintained
+        in this mode (nothing downstream of a spec loop reads it)."""
         hidden = self.transformer(
             emb,
             jnp.ones(emb.shape[:2], jnp.bool_),
             deterministic=True,
             mode="extend",
             decode_index=start,
-            extend_clear=(clear_start, clear_len, buffer_len),
+            extend_clear=(
+                None if clear_start is None
+                else (clear_start, clear_len, buffer_len)
+            ),
         )
         return self.predict_token(hidden).astype(jnp.float32)
 

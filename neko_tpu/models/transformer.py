@@ -236,8 +236,7 @@ class Attention(nn.Module):
             # granularity reproduces the reference's sliding-window re-pack
             # (control_task.py:154-155) EXACTLY — without the O(S^2)
             # re-prefill per env step.
-            assert decode_index is not None and extend_clear is not None
-            clear_start, clear_len, buffer_len = extend_clear
+            assert decode_index is not None
             Sc = cfg.context_len
             quant = cfg.kv_cache_dtype == "int8"
             cache_dtype = jnp.int8 if quant else dtype
@@ -262,13 +261,31 @@ class Attention(nn.Module):
                 "cache", "mask", lambda: jnp.zeros((B, Sc), jnp.bool_)
             )
             rows = jnp.arange(B)
-            cidx = (
-                clear_start[:, None] + jnp.arange(clear_len)[None, :]
-            ) % buffer_len
-            mask_val = cm.value.at[rows[:, None], cidx].set(False)
-            wpos = (
-                decode_index[:, None] + jnp.arange(S)[None, :]
-            ) % buffer_len  # [B, K]
+            if extend_clear is None:
+                # APPEND mode (speculative decoding's verify rounds):
+                # positions are monotone (caller asserts no overflow, so no
+                # ring wrap), prompts are right-padded (valid prefix [0, pos)),
+                # and each round's writes [pos, pos+K) COVER the previous
+                # round's stale rejected tail (pos advanced by accepted+1 <=
+                # K+1, so pos_new + K >= pos_old + K + 1).  Validity for query
+                # i is then the pure iota compare col <= pos + i — no
+                # eviction scatter, no one_hot/cumsum chunk-causality mask.
+                # Measured: the eviction machinery below made an extend(K+1)
+                # round cost 2.25x a 1-token decode step, turning spec decode
+                # into a 0.89x SLOWDOWN (runs/bench_spec_r4.json, pre-fix).
+                wpos = decode_index[:, None] + jnp.arange(S)[None, :]
+                mask_val = cm.value
+                col = jax.lax.broadcasted_iota(jnp.int32, (1, S, Sc), 2)
+                allowed = col <= wpos[:, :, None]                 # [B, K, Sc]
+            else:
+                clear_start, clear_len, buffer_len = extend_clear
+                cidx = (
+                    clear_start[:, None] + jnp.arange(clear_len)[None, :]
+                ) % buffer_len
+                mask_val = cm.value.at[rows[:, None], cidx].set(False)
+                wpos = (
+                    decode_index[:, None] + jnp.arange(S)[None, :]
+                ) % buffer_len  # [B, K]
             new_k = k.transpose(0, 2, 1, 3)  # [B, K, H, hd]
             new_v = v.transpose(0, 2, 1, 3)
             if quant:
@@ -278,14 +295,15 @@ class Attention(nn.Module):
                 cvs.value = cvs.value.at[rows[:, None], :, wpos].set(vs_)
             ck.value = ck.value.at[rows[:, None], :, wpos].set(new_k)
             cv.value = cv.value.at[rows[:, None], :, wpos].set(new_v)
-            mask_val = mask_val.at[rows[:, None], wpos].set(True)
-            cm.value = mask_val
-            # chunk-internal causality: query i may not attend chunk tokens
-            # written after it (suffix-OR over the chunk's one-hot positions)
-            oh = jax.nn.one_hot(wpos, Sc, dtype=jnp.int32)        # [B, K, Sc]
-            csum = jnp.cumsum(oh[:, ::-1], axis=1)[:, ::-1]
-            future = (csum - oh) > 0
-            allowed = mask_val[:, None, :] & ~future              # [B, K, Sc]
+            if extend_clear is not None:
+                mask_val = mask_val.at[rows[:, None], wpos].set(True)
+                cm.value = mask_val
+                # chunk-internal causality: query i may not attend chunk
+                # tokens written after it (suffix-OR over one-hot positions)
+                oh = jax.nn.one_hot(wpos, Sc, dtype=jnp.int32)    # [B, K, Sc]
+                csum = jnp.cumsum(oh[:, ::-1], axis=1)[:, ::-1]
+                future = (csum - oh) > 0
+                allowed = mask_val[:, None, :] & ~future          # [B, K, Sc]
             bias = jnp.where(allowed[:, None], 0.0, _BIG_NEG).astype(
                 jnp.float32
             )
