@@ -88,6 +88,8 @@ def run_load(url, jobs, clients):
         "p50_latency_s": round(statistics.median(lat), 3) if lat else None,
         "p95_latency_s": round(lat[int(0.95 * (len(lat) - 1))], 3)
         if lat else None,
+        "p99_latency_s": round(lat[int(0.99 * (len(lat) - 1))], 3)
+        if lat else None,
         "errors": errors[0],
     }
 
@@ -104,6 +106,8 @@ def main():
     p.add_argument("--slots", type=int, default=8)
     p.add_argument("--chunk", type=int, default=8)
     p.add_argument("--prompt_len", type=int, default=256)
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the JSON result to this path")
     cli = p.parse_args()
 
     import jax
@@ -174,6 +178,9 @@ def main():
         out["continuous"]["gen_tokens_per_sec"]
         / max(out["coalesce"]["gen_tokens_per_sec"], 1e-9), 3)
     print(json.dumps(out))
+    if cli.out:
+        with open(cli.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -15,6 +15,13 @@ Spec decode is LOSSLESS (tests/test_spec_decode.py), so the comparison is
 purely about device rounds: the decode step is bandwidth-bound on the KV
 cache streams (PROFILE.md), and a round streams the cache once for 1+K
 verified candidates.
+
+`--steady` additionally measures the STEADY-STATE loop cost: one device
+program per decode loop (prefill/pack/embed excluded, tunnel dispatch paid
+once), which is what the continuous-batching engine pays per token after
+admission.  At --gen 128 the full generate() wall is dominated by the
+fixed per-call cost (~55 ms of prefill + embed + dispatch on this tunnel),
+which hides the loop-level speedup the serving path realizes.
 """
 
 import argparse
@@ -45,6 +52,13 @@ def main():
                    help="> 0: ALSO benchmark draft-model speculation with "
                         "the target's own first N layers as the draft "
                         "(Generator.truncated_draft)")
+    p.add_argument("--steady", action="store_true",
+                   help="also measure the steady-state loop cost (one "
+                        "device program per decode loop, prefill excluded) "
+                        "at --steady_gen tokens")
+    p.add_argument("--steady_gen", type=int, default=768)
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the JSON result to this path")
     cli = p.parse_args()
 
     import jax
@@ -198,7 +212,75 @@ def main():
                 "tokens_per_round": round(cli.gen / dr, 2),
                 "rounds": int(dr),
             }
+    if cli.steady:
+        import jax.numpy as jnp
+
+        # Steady state: time the decode LOOPS as single device programs on
+        # a shared prefilled cache — the per-call fixed cost (pack, embed,
+        # prefill, tunnel dispatch) is excluded, matching what the serving
+        # engine pays per token once a request is admitted.
+        GEN = cli.steady_gen
+        p_len = 128
+        prompt = {"text": [5, 9] * (p_len // 2)}
+        arrays = packer.pack_batch([prompt], pad_side="right")
+        arrays.pop("lengths")
+        P = gen.params
+        batch = to_device_batch(arrays)
+        emb = gen._embed_batch(P, batch)
+        mask = np.zeros((1, cfg.context_len), bool)
+        mask[0, :p_len] = True
+        logits0, cache0 = gen._prefill(P, emb, jnp.asarray(mask))
+        pos = jnp.asarray([p_len], jnp.int32)
+        last = logits0[jnp.arange(1), pos - 1]
+        key = jax.random.key(1)
+        hist = jnp.asarray(
+            np.zeros((1, cfg.context_len + cli.k + 1), np.int32)
+        ).at[0, :p_len].set(jnp.asarray(arrays["tokens"][0][:p_len]))
+
+        def med(f):
+            r = f()
+            np.asarray(jax.tree_util.tree_leaves(r)[0])  # compile + sync
+            ts_ = []
+            for _ in range(cli.reps):
+                t0 = time.perf_counter()
+                r = f()
+                np.asarray(jax.tree_util.tree_leaves(r)[0])
+                ts_.append(time.perf_counter() - t0)
+            return float(np.median(ts_)) * 1e3
+
+        def spec_loop():
+            return gen._spec_decode(
+                P, cache0, last, hist, pos, key, n_steps=GEN, start=start,
+                end=end, K=cli.k, ngram=2, deterministic=True,
+                temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
+            )
+
+        def dec_loop():
+            return gen._decode_scan(
+                P, cache0, last, pos, pos * 0 + 1, key, None, None,
+                n_steps=GEN, start=start, end=end, deterministic=True,
+                with_pos=False, return_logits=False, ring=False,
+                temperature=1.0, top_k=0, top_p=1.0, use_top_p=False,
+            )[0]
+
+        t_dec = med(dec_loop)
+        _, rounds = spec_loop()
+        rounds = int(rounds)
+        t_spec = med(spec_loop)
+        out["steady"] = {
+            "gen": GEN,
+            "rounds": rounds,
+            "decode_ms_per_token": round(t_dec / GEN, 4),
+            "spec_ms_per_round": round(t_spec / rounds, 4),
+            "tokens_per_round": round(GEN / rounds, 2),
+            "spec_ms_per_token": round(t_spec / GEN, 4),
+            "steady_speedup": round(t_dec / t_spec, 3),
+        }
+
     print(json.dumps(out))
+    if cli.out:
+        with open(cli.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":
