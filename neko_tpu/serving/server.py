@@ -65,6 +65,20 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return b
 
 
+def _pad_pow2(examples: List[Dict]) -> List[Dict]:
+    """Pad a coalesced group to a power-of-two batch size by repeating the
+    last example.  Batch size is the only remaining compile-variant axis on
+    the coalescing path (sequence length is always the full context and
+    max_new_tokens is already pow2-bucketed), so this bounds the variant set
+    to {1, 2, 4, ...} instead of one program per distinct group size.  Pad
+    rows are appended AFTER the real rows, which leaves the real rows'
+    sample streams untouched: per-step random bits are counter-indexed by
+    (row, column) position, so row i draws the same bits at any batch size
+    >= i+1.  Callers read results for the real rows only."""
+    n = _next_pow2(len(examples), lo=1)
+    return list(examples) + [examples[-1]] * (n - len(examples))
+
+
 def _truncate_at_stop(ids: List[int], stop) -> List[int]:
     """Cut the response at the first stop id (exclusive).  Post-processing
     only — the decode scan still runs its static length, so `stop` does not
@@ -512,8 +526,8 @@ class NekoServer:
             # winning hypothesis at `bucket` tokens can differ from `want`'s
             want = key[7]
             tokens, scores = self.gen.generate_beam(
-                examples, max_new_tokens=want, start=start, end=end,
-                num_beams=num_beams,
+                _pad_pow2(examples), max_new_tokens=want, start=start,
+                end=end, num_beams=num_beams,
             )
             for i, r in enumerate(rs):
                 ids = (tokens[i, 0] - start).tolist()
@@ -528,7 +542,7 @@ class NekoServer:
         # depends only on step order), so bucketing changes compile variants
         # and coalescing groups, not results
         tokens, _ = self.gen.generate_batch(
-            examples, max_new_tokens=bucket, start=start, end=end,
+            _pad_pow2(examples), max_new_tokens=bucket, start=start, end=end,
             deterministic=det, temperature=temp, top_k=top_k, top_p=top_p,
         )
         for i, r in enumerate(rs):
@@ -546,14 +560,14 @@ class NekoServer:
         examples = [_example_from_payload(r.payload) for r in rs]
         if spec_mode == "draft":
             tokens, rounds = self.gen.generate_spec_draft(
-                examples, self.draft,
+                _pad_pow2(examples), self.draft,
                 max_new_tokens=want, start=start, end=end,
                 speculate_k=spec_k, deterministic=det,
                 temperature=temp, top_k=top_k, top_p=top_p,
             )
         else:
             tokens, rounds = self.gen.generate_spec(
-                examples,
+                _pad_pow2(examples),
                 max_new_tokens=want, start=start, end=end,
                 speculate_k=spec_k, deterministic=det,
                 temperature=temp, top_k=top_k, top_p=top_p,
@@ -578,8 +592,9 @@ class NekoServer:
                 ex[slot] = np.zeros((len(obs), action_tokens), dt)
             examples.append(ex)
         actions = self.gen.predict_control_batch(
-            examples, action_kind=action_kind, action_tokens=action_tokens,
-            num_actions=num_actions, action_nvec=nvec, deterministic=det,
+            _pad_pow2(examples), action_kind=action_kind,
+            action_tokens=action_tokens, num_actions=num_actions,
+            action_nvec=nvec, deterministic=det,
         )
         for r, a in zip(rs, actions):
             r.result = {

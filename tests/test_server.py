@@ -252,3 +252,28 @@ def test_bucketed_length_preserves_prefix(server, gen):
         start=ts.start("text"), end=ts.end("text"),
     )
     assert body["tokens"] == (direct[0] - ts.start("text")).tolist()
+
+
+def test_pow2_batch_padding_preserves_rows(gen):
+    """Coalesced groups run at a pow2 batch size (server._pad_pow2) so the
+    compile-variant set is {1, 2, 4, ...} instead of one program per group
+    size.  Pad rows trail the real rows, and per-step random bits are
+    counter-indexed by (row, col) — so even SAMPLED rows must be identical
+    with and without the padding."""
+    from neko_tpu.serving.server import _pad_pow2
+
+    ts = gen.cfg.token_space
+    start, end = ts.start("text"), ts.end("text")
+    exs = [{"text": [5, 6, 7]}, {"text": [9]}, {"text": [2, 4]}]
+    padded = _pad_pow2(exs)
+    assert len(padded) == 4 and padded[3] is exs[-1]
+    key = jax.random.key(42)
+    a, _ = gen.generate_batch(
+        exs, max_new_tokens=6, start=start, end=end,
+        deterministic=False, temperature=1.0, rng=key,
+    )
+    b, _ = gen.generate_batch(
+        padded, max_new_tokens=6, start=start, end=end,
+        deterministic=False, temperature=1.0, rng=key,
+    )
+    np.testing.assert_array_equal(a, b[: len(exs)])

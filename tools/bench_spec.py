@@ -52,6 +52,17 @@ def main():
                    help="> 0: ALSO benchmark draft-model speculation with "
                         "the target's own first N layers as the draft "
                         "(Generator.truncated_draft)")
+    p.add_argument("--draft_path", type=str, default=None,
+                   help="checkpoint of a separately TRAINED (smaller) draft "
+                        "model sharing the token space — benchmarks the "
+                        "classic two-model scheme (generate_spec_draft, "
+                        "same as serve.py --draft_model_path); excludes "
+                        "--draft_layers")
+    p.add_argument("--corpus", action="store_true",
+                   help="add a 'corpus' prompt drawn from the synthetic "
+                        "text corpus (tasks/text.py) — in-distribution for "
+                        "checkpoints trained on --text_datasets synthetic, "
+                        "so draft/lookup acceptance is meaningful")
     p.add_argument("--steady", action="store_true",
                    help="also measure the steady-state loop cost (one "
                         "device program per decode loop, prefill excluded) "
@@ -101,7 +112,25 @@ def main():
             {"params": jax.random.key(0)}, to_device_batch(init)
         )["params"]
     gen = Generator(model, params, packer)
-    draft = gen.truncated_draft(cli.draft_layers) if cli.draft_layers else None
+    assert not (cli.draft_path and cli.draft_layers), (
+        "--draft_path and --draft_layers are exclusive"
+    )
+    if cli.draft_path:
+        from neko_tpu.cli.build import (
+            build_context, load_state_for, resolve_checkpoint_and_args,
+        )
+
+        d_ckpt, d_args = resolve_checkpoint_and_args(cli.draft_path, {})
+        d_ctx, _ = build_context(d_args, tasks=[], ckpt_path=d_ckpt)
+        d_state, d_packer = load_state_for(d_ctx, d_ckpt)
+        assert d_ctx.model_cfg.vocab_size == cfg.vocab_size, (
+            "draft and target must share the token space"
+        )
+        draft = Generator(d_ctx.model, d_state.params, d_packer)
+    elif cli.draft_layers:
+        draft = gen.truncated_draft(cli.draft_layers)
+    else:
+        draft = None
     ts = cfg.token_space
     start, end = ts.start("text"), ts.end("text")
 
@@ -111,6 +140,15 @@ def main():
             rng.randint(1, cfg.text_tokens, size=cli.prompt_len)
         )},
     }
+    if cli.corpus:
+        # in-distribution prompt: the deterministic synthetic corpus,
+        # tokenized exactly as training did (byte fallback offline)
+        from neko_tpu.tasks.text import _synthetic_corpus
+        from neko_tpu.tokenizers.text import get_text_tokenizer
+
+        tok = get_text_tokenizer("gpt2")
+        ids = tok.encode(" ".join(_synthetic_corpus()))[:cli.prompt_len]
+        prompts["corpus"] = {"text": [int(t) for t in ids]}
 
     out = {"config": cli.config, "k": cli.k, "gen": cli.gen,
            "kv_cache": cfg.kv_cache_dtype}
@@ -206,6 +244,7 @@ def main():
                 times.append(time.perf_counter() - t0)
             d_s = float(np.median(times))
             out[name]["draft"] = {
+                "path": cli.draft_path,
                 "layers": cli.draft_layers,
                 "tokens_per_sec": round(cli.gen / d_s, 1),
                 "speedup": round(plain_s / d_s, 3),
