@@ -153,15 +153,19 @@ def main():
     out = {"config": cli.config, "k": cli.k, "gen": cli.gen,
            "kv_cache": cfg.kv_cache_dtype}
     def check_lossless(spec_toks, plain_toks, plain_logits, what):
-        """Token-for-token equality, modulo EXACT logit ties.
+        """Token-for-token equality, modulo bf16-resolution logit ties.
 
-        On a random-init model thousands of the 52k logits tie exactly in
-        bf16; the 1-token decode forward and the K+1-token verify forward
-        break such ties differently (different matmul shapes -> different
-        reduction order), which is not a losslessness violation.  Measured
-        on-chip: every divergence site has plain_logit[plain_tok] ==
-        plain_logit[spec_tok] bit-exactly.  On trained weights ties are
-        vanishingly rare and this reduces to the strict assert."""
+        The 1-token decode forward and the K+1-token verify forward run
+        different matmul shapes, so their bf16 hidden states differ by a
+        few ulps — where the model's true top-2 margin is inside that
+        noise, the two forwards can argmax differently.  That is argmax
+        instability at the numeric floor, not a losslessness violation:
+        on a random-init model the divergence sites tie BIT-EXACTLY
+        (thousands of the 52k logits collide in bf16), and on trained
+        weights the measured flip margins are 1 ulp of the logit scale
+        (e.g. gap 0.0625 at |logit| ~ 10).  Anything beyond a few ulps
+        means the verify path computed a genuinely different
+        distribution, and the assert fires."""
         spec_toks = np.asarray(spec_toks)
         plain_toks = np.asarray(plain_toks)
         n = min(len(spec_toks), len(plain_toks))
@@ -174,9 +178,13 @@ def main():
             if p == s:
                 continue
             gap = abs(float(L[i, p]) - float(L[i, s]))
-            assert gap <= 1e-6, (
+            # 4 bf16 ulps (2^-8 mantissa steps) at the logit magnitude
+            tol = 4 * 2.0 ** -8 * max(
+                1.0, abs(float(L[i, p])), abs(float(L[i, s]))
+            )
+            assert gap <= tol, (
                 f"{what}: real divergence at {i}: plain {p} vs spec {s}, "
-                f"logit gap {gap}"
+                f"logit gap {gap} > {tol:.4f} (4 ulps)"
             )
             flips += 1
             break  # past the first tie-flip the sequences legitimately differ
@@ -260,7 +268,13 @@ def main():
         # engine pays per token once a request is admitted.
         GEN = cli.steady_gen
         p_len = 128
-        prompt = {"text": [5, 9] * (p_len // 2)}
+        if cli.corpus:
+            # in-distribution steady prompt for trained checkpoints —
+            # acceptance (and therefore the realized speedup) is
+            # meaningless on the cyclic prompt there
+            prompt = {"text": prompts["corpus"]["text"][:p_len]}
+        else:
+            prompt = {"text": [5, 9] * (p_len // 2)}
         arrays = packer.pack_batch([prompt], pad_side="right")
         arrays.pop("lengths")
         P = gen.params
@@ -315,6 +329,35 @@ def main():
             "spec_ms_per_token": round(t_spec / GEN, 4),
             "steady_speedup": round(t_dec / t_spec, 3),
         }
+
+        if draft is not None:
+            # steady-state DRAFT-MODEL loop: both caches prefilled, one
+            # compiled device program (what serving pays per admitted
+            # request with --draft_model_path)
+            _, cache_d0 = draft._prefill(
+                draft.params, draft._embed_batch(draft.params, batch),
+                jnp.asarray(mask),
+            )
+            dfn = gen._get_spec_draft(draft.model)
+
+            def draft_loop():
+                return dfn(
+                    P, draft.params, cache0, cache_d0, last, pos, key,
+                    n_steps=GEN, start=start, end=end, K=cli.k,
+                    deterministic=True, temperature=1.0, top_k=0,
+                    top_p=1.0, use_top_p=False,
+                )
+
+            _, drounds = draft_loop()
+            drounds = int(drounds)
+            t_draft = med(draft_loop)
+            out["steady"]["draft"] = {
+                "rounds": drounds,
+                "tokens_per_round": round(GEN / drounds, 2),
+                "ms_per_round": round(t_draft / drounds, 4),
+                "ms_per_token": round(t_draft / GEN, 4),
+                "steady_speedup": round(t_dec / t_draft, 3),
+            }
 
     print(json.dumps(out))
     if cli.out:
