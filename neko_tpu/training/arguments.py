@@ -140,6 +140,7 @@ class TrainingArgs:
     profile_dir: Optional[str] = field(default=None, metadata={"help": "Capture a jax.profiler trace of a few train steps into this directory (view with tensorboard/xprof)."})
     profile_steps: int = field(default=3, metadata={"help": "Number of steps to trace when --profile_dir is set."})
     multihost: bool = field(default=False, metadata={"help": "Call jax.distributed.initialize() at startup (multi-host TPU slices)."})
+    compilation_cache: Optional[str] = field(default=None, metadata={"help": "Persistent XLA/Mosaic compile-cache directory (jax_compilation_cache_dir): later processes skip every already-seen compile, collapsing cold starts for train/eval/serve restarts. Verified cache-hit on the attached TPU runtime; flagship serving compiles cost minutes per process without it."})
     rng_impl: Literal["threefry", "rbg", "unsafe_rbg"] = field(default="unsafe_rbg", metadata={"help": "JAX PRNG implementation. unsafe_rbg (hardware RNG, the MaxText production default) makes dropout ~12ms/step cheaper at 768d/6L; threefry gives fully reproducible keys."})
     log_jsonl: bool = field(default=True, metadata={"help": "Append metrics to <save_dir>/<exp>/metrics.jsonl."})
     kv_cache_dtype: Literal["native", "int8"] = field(default="native", metadata={"help": "KV-cache storage for the decode/serving path: 'native' is bit-exact; 'int8' stores per-row-quantized keys/values + fp32 scales, halving the HBM bytes the bandwidth-bound decode step streams (no effect on training)."})
