@@ -23,7 +23,8 @@ def build_generator(cli, model_path=None):
 
     ckpt_path, args = resolve_checkpoint_and_args(
         model_path or cli.model_path,
-        {k: getattr(cli, k, None) for k in ("cpu", "kv_cache_dtype")},
+        {k: getattr(cli, k, None)
+         for k in ("cpu", "kv_cache_dtype", "compilation_cache")},
     )
     ctx, _ = build_context(args, tasks=[], ckpt_path=ckpt_path)
     state, packer = load_state_for(ctx, ckpt_path)
@@ -86,6 +87,15 @@ def main(argv: Optional[list] = None) -> None:
                    help="draft = the target's own first N layers "
                         "(Generator.truncated_draft — no second "
                         "checkpoint); excludes --draft_model_path")
+    p.add_argument("--compilation_cache", type=str, default=None,
+                   help="persistent XLA/Mosaic compile-cache dir: server "
+                        "restarts skip every already-seen compile "
+                        "(cold flagship serving pays minutes of compiles)")
+    p.add_argument("--request_timeout", type=float, default=120.0,
+                   help="per-request wall cap (s) before a 504; raise for "
+                        "COLD processes whose first request of a shape "
+                        "family pays the compile, or pre-warm with "
+                        "--compilation_cache")
     cli = p.parse_args(argv)
 
     from neko_tpu.serving.server import NekoServer
@@ -104,6 +114,7 @@ def main(argv: Optional[list] = None) -> None:
         continuous_slots=cli.continuous_slots,
         continuous_chunk=cli.continuous_chunk,
         draft_generator=draft,
+        request_timeout=cli.request_timeout,
     ).start()
     host, port = server.address[0], server.address[1]
     print(f"serving on http://{host}:{port} "

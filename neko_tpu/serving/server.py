@@ -123,6 +123,7 @@ class NekoServer:
         continuous_slots: int = 0,
         continuous_chunk: int = 8,
         draft_generator=None,
+        request_timeout: float = 120.0,
     ):
         """`continuous_slots` > 0 enables CONTINUOUS BATCHING for plain
         /v1/generate requests (no beams/speculative, top_k == 0): they
@@ -141,6 +142,11 @@ class NekoServer:
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.max_tokens = max_tokens
+        # per-request wall cap before the handler answers 504.  Raise it on
+        # runtimes where a COLD process pays minutes of compiles on the
+        # first request of each shape family — or pre-warm with
+        # --compilation_cache, which makes restarts skip those compiles.
+        self.request_timeout = request_timeout
         self.max_beams = min(max_beams, generator.cfg.token_space.text_tokens)
         self._q: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
@@ -209,7 +215,9 @@ class NekoServer:
                     return self._json(404, {"error": "not found"})
                 server.stats["requests"] += 1
                 try:
-                    result = server.submit(payload)
+                    result = server.submit(
+                        payload, timeout=server.request_timeout
+                    )
                 except Exception as e:  # noqa: BLE001
                     # anything raised BEFORE queueing is payload-induced
                     # (submit validates; OverflowError from absurd numbers,
