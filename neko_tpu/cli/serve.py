@@ -79,6 +79,14 @@ def main(argv: Optional[list] = None) -> None:
                         "(serving/continuous.py)")
     p.add_argument("--continuous_chunk", type=int, default=8,
                    help="decode tokens per engine device call")
+    p.add_argument("--continuous_spec_k", type=int, default=0,
+                   help="> 0: the continuous engine decodes with GREEDY "
+                        "prompt-lookup speculation — each device call runs "
+                        "continuous_chunk verify rounds advancing every "
+                        "row by its accepted 1..K+1 tokens (3.71x "
+                        "steady-state on in-distribution text, PROFILE.md);"
+                        " sampled requests fall back to the coalescing "
+                        "path")
     p.add_argument("--draft_model_path", type=str, default=None,
                    help="checkpoint of a (smaller) draft model sharing the "
                         "token space: speculative requests then verify "
@@ -113,6 +121,7 @@ def main(argv: Optional[list] = None) -> None:
         max_batch=cli.max_batch, batch_window_ms=cli.batch_window_ms,
         continuous_slots=cli.continuous_slots,
         continuous_chunk=cli.continuous_chunk,
+        continuous_spec_k=cli.continuous_spec_k,
         draft_generator=draft,
         request_timeout=cli.request_timeout,
     ).start()

@@ -215,6 +215,13 @@ class Generator:
             self._engine_adopt_impl,
             donate_argnames=("cache", "last_logits", "pos"),
         )
+        # speculative continuous batching: greedy verify rounds over the
+        # slot pool (engine_spec_chunk)
+        self._engine_spec_chunk_j = jit(
+            self._engine_spec_chunk_impl,
+            static_argnames=("rounds", "start", "end", "K", "ngram"),
+            donate_argnames=("cache", "hist"),
+        )
 
     def _jit(self, fn, **kw):
         """jax.jit that traces (and runs) under the serving mesh, so the
@@ -703,6 +710,27 @@ class Generator:
         toks = np.asarray(toks, np.int64)
         return (toks[0], int(rounds)) if single else (toks, int(rounds))
 
+    @staticmethod
+    def _lookup_proposals(hist, pos, *, K, ngram):
+        """Prompt-lookup proposals, batched: per row, the K tokens that
+        followed the most recent occurrence of the ngram-length suffix
+        ending at `pos` in `hist` (falling back to repeating recent
+        context when no match exists)."""
+        N, Hlen = hist.shape
+        rows = jnp.arange(N)
+        idx = jnp.arange(Hlen)[None, :]                  # [1, Hlen]
+        ok = idx < (pos - ngram)[:, None]
+        match = jnp.ones((N, Hlen), bool)
+        for j in range(ngram):
+            tail = hist[rows, jnp.clip(pos - ngram + j, 0, Hlen - 1)]
+            match = match & (
+                jnp.roll(hist, -j, axis=1) == tail[:, None]
+            )
+        i_star = jnp.max(jnp.where(ok & match, idx, -1), axis=1)  # [N]
+        base = jnp.where(i_star >= 0, i_star + ngram, pos - 1)
+        cols = jnp.clip(base, 0, Hlen - K)[:, None] + jnp.arange(K)
+        return hist[rows[:, None], cols]                 # [N, K]
+
     def _spec_decode_impl(
         self, params, cache, last_logits, hist, pos, key,
         *, n_steps, start, end, K, ngram, deterministic,
@@ -727,19 +755,7 @@ class Generator:
         kcol = jnp.arange(K + 1)[None, :]                    # [1, K+1]
 
         def lookup(hist, pos):
-            # per row: most recent i with hist[i:i+ngram] == the suffix
-            idx = jnp.arange(Hlen)[None, :]                  # [1, Hlen]
-            ok = idx < (pos - ngram)[:, None]
-            match = jnp.ones((N, Hlen), bool)
-            for j in range(ngram):
-                tail = hist[rows, jnp.clip(pos - ngram + j, 0, Hlen - 1)]
-                match = match & (
-                    jnp.roll(hist, -j, axis=1) == tail[:, None]
-                )
-            i_star = jnp.max(jnp.where(ok & match, idx, -1), axis=1)  # [N]
-            base = jnp.where(i_star >= 0, i_star + ngram, pos - 1)
-            cols = jnp.clip(base, 0, Hlen - K)[:, None] + jnp.arange(K)
-            return hist[rows[:, None], cols]                 # [N, K]
+            return self._lookup_proposals(hist, pos, K=K, ngram=ngram)
 
         W = end - start + 1
 
@@ -1379,6 +1395,81 @@ class Generator:
         cache, last_logits, pos, _ = carry
         return jnp.swapaxes(toks, 0, 1), cache, last_logits, pos
 
+    def _engine_spec_chunk_impl(
+        self, params, cache, last_logits, pos, hist,
+        *, rounds, start, end, K, ngram,
+    ):
+        """Advance every engine slot by `rounds` GREEDY prompt-lookup
+        verify rounds in one compiled call — speculative decoding inside
+        the continuous-batching engine.
+
+        Each round is one append-mode extend_step verifying a0 + K
+        lookup proposals per row (same cache discipline as
+        _spec_decode_impl: monotone writes cover stale tails), so a round
+        costs ~1.03x a 1-token decode step but advances each row by its
+        accepted prefix 1..K+1 (PROFILE.md: 4.92 tokens/round on
+        in-distribution text).  Rows whose next write window [pos, pos+K]
+        would cross the context end PARK (advance 0, keep their
+        pre-round state; their extend re-writes a clamped stale window
+        that only ever belongs to them) — admission guarantees live
+        requests finish before parking (prompt + want + K + 1 <= S,
+        serving/continuous.py), so parking only ever idles free/finished
+        rows awaiting slot reuse.  Greedy only: per-row sampled
+        acceptance needs the p/q residual chain, which the coalescing
+        spec path provides; the server routes sampled requests there.
+
+        Returns (chunks [N, rounds, K+1] absolute ids, advs [N, rounds]
+        accepted counts, cache, last_logits, pos, hist) — the host keeps
+        chunks[b, r, :advs[b, r]] per row.
+        """
+        S = self.cfg.context_len
+        N, Hlen = hist.shape
+        rows = jnp.arange(N)
+        kcol = jnp.arange(K + 1)[None, :]                    # [1, K+1]
+
+        def body(carry, _):
+            cache, last_logits, pos, hist = carry
+            # fp8 serving: dequantize in-body (once per round; see _dq)
+            p = self._dq(params)
+            parked = pos + K + 1 > S
+            wpos = jnp.minimum(pos, S - K - 1)
+            win0 = last_logits[:, start : end + 1]
+            a0 = (jnp.argmax(win0, axis=-1) + start).astype(jnp.int32)
+            hist2 = hist.at[rows, pos].set(a0)   # Hlen = S+K+1: in bounds
+            props = self._lookup_proposals(hist2, pos + 1, K=K, ngram=ngram)
+            chunk = jnp.concatenate([a0[:, None], props], axis=1)  # [N,K+1]
+            emb = self.model.apply(
+                {"params": p}, chunk, method=NekoModel.embed_tokens
+            )
+            logits, vars_ = self.model.apply(
+                {"params": p, "cache": cache}, emb, wpos,
+                method=NekoModel.extend_step, mutable=["cache"],
+            )
+            cache = vars_["cache"]
+            win = logits[:, :, start : end + 1]              # [N, K+1, W]
+            greedy = (jnp.argmax(win, axis=-1) + start).astype(jnp.int32)
+            ok = props == greedy[:, :K]
+            m = jnp.argmin(jnp.concatenate(
+                [ok.astype(jnp.int32), jnp.zeros((N, 1), jnp.int32)],
+                axis=1,
+            ), axis=1)                                       # [N]
+            adv = jnp.where(parked, 0, m + 1)
+            hist2 = hist2.at[rows[:, None], pos[:, None] + kcol].set(chunk)
+            hist = jnp.where(parked[:, None], hist, hist2)
+            last_logits = jnp.where(
+                parked[:, None], last_logits, logits[rows, m]
+            )
+            return (cache, last_logits, pos + adv, hist), (chunk, adv)
+
+        carry, (chunks, advs) = jax.lax.scan(
+            body, (cache, last_logits, pos, hist), None, length=rounds
+        )
+        cache, last_logits, pos, hist = carry
+        return (
+            jnp.swapaxes(chunks, 0, 1), jnp.swapaxes(advs, 0, 1),
+            cache, last_logits, pos, hist,
+        )
+
     def _engine_adopt_impl(
         self, cache, last_logits, pos, cache1, last1, b, L
     ):
@@ -1387,12 +1478,16 @@ class Generator:
         cache = jax.tree.map(lambda d, s: d.at[b].set(s[0]), cache, cache1)
         return cache, last_logits.at[b].set(last1), pos.at[b].set(L)
 
-    def engine_init(self, slots: int) -> Dict:
+    def engine_init(self, slots: int, speculate_k: int = 0) -> Dict:
         """Allocate continuous-batching engine state: `slots` cache rows,
         all free.  The serving counterpart of the reference's... nothing —
         the reference has no server and re-runs full forwards per token
         (gato_policy.py:434-470).  See serving/continuous.py for the
-        scheduler that drives this."""
+        scheduler that drives this.
+
+        speculate_k > 0 additionally allocates the per-row token history
+        the speculative engine chunk's prompt lookup reads
+        (engine_spec_chunk)."""
         arrays = self.packer.pack_batch(
             [{"text": [0]}] * slots, pad_side="right"
         )
@@ -1401,11 +1496,16 @@ class Generator:
         emb = self._embed_batch(self.params, batch)
         mask = jnp.zeros((slots, self.cfg.context_len), bool)
         logits, cache = self._prefill(self.params, emb, mask)
-        return {
+        state = {
             "cache": cache,
             "last": jnp.zeros_like(logits[:, 0]),
             "pos": jnp.zeros((slots,), jnp.int32),
         }
+        if speculate_k > 0:
+            state["hist"] = jnp.zeros(
+                (slots, self.cfg.context_len + speculate_k + 1), jnp.int32
+            )
+        return state
 
     def engine_admit(
         self, state: Dict, slot: int, example: Dict, drop_trailing: int = 0
@@ -1424,7 +1524,12 @@ class Generator:
             cache1, logits[0, L - 1],
             jnp.asarray(slot, jnp.int32), jnp.asarray(L, jnp.int32),
         )
-        return {"cache": cache, "last": last, "pos": pos}
+        out = {"cache": cache, "last": last, "pos": pos}
+        if "hist" in state:
+            hrow = np.zeros(state["hist"].shape[1], np.int32)
+            hrow[:L] = np.asarray(arrays["tokens"][0][:L])
+            out["hist"] = state["hist"].at[slot].set(jnp.asarray(hrow))
+        return out
 
     def engine_chunk(
         self, state: Dict, *, n_steps: int, start: int, end: int,
@@ -1445,7 +1550,29 @@ class Generator:
         )
         return (
             np.asarray(toks, np.int64),
-            {"cache": cache, "last": last, "pos": pos},
+            {"cache": cache, "last": last, "pos": pos,
+             **({"hist": state["hist"]} if "hist" in state else {})},
+        )
+
+    def engine_spec_chunk(
+        self, state: Dict, *, rounds: int, start: int, end: int,
+        K: int, ngram: int = 2,
+    ):
+        """Advance every slot by `rounds` greedy speculative verify rounds
+        (engine_init must have been called with speculate_k=K).  Returns
+        (chunks [N, rounds, K+1] np.int64 absolute ids, advs [N, rounds]
+        accepted counts, new state); row b's round-r tokens are
+        chunks[b, r, :advs[b, r]]."""
+        chunks, advs, cache, last, pos, hist = self._engine_spec_chunk_j(
+            self.params, state["cache"], state["last"], state["pos"],
+            state["hist"],
+            rounds=int(rounds), start=int(start), end=int(end),
+            K=int(K), ngram=int(ngram),
+        )
+        return (
+            np.asarray(chunks, np.int64),
+            np.asarray(advs, np.int64),
+            {"cache": cache, "last": last, "pos": pos, "hist": hist},
         )
 
     def _select_batch_impl(self, logits, key, *, start, end, deterministic,

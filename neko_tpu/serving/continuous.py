@@ -70,11 +70,20 @@ class ContinuousEngine:
     /v1/generate requests (no beams, no speculative, top_k == 0)."""
 
     def __init__(self, generator, *, slots: int = 8, chunk: int = 8,
-                 seed: int = 0):
+                 seed: int = 0, speculate_k: int = 0, lookup_ngram: int = 2):
+        """speculate_k > 0 switches the decode loop to GREEDY speculative
+        verify rounds (Generator.engine_spec_chunk): each device call runs
+        `chunk` rounds, every round costing ~1 decode step but advancing
+        each row by its accepted 1..K+1 prompt-lookup proposals — the
+        steady-state 3.71x (PROFILE.md) applied to the serving path.  The
+        server then routes only deterministic text requests here (sampled
+        acceptance needs the per-row p/q residual chain; those coalesce)."""
         assert slots >= 1 and chunk >= 1
         self.gen = generator
         self.n_slots = slots
         self.chunk = chunk
+        self.spec_k = int(speculate_k)
+        self.ngram = int(lookup_ngram)
         # engine-owned sampling stream: the coalescing worker splits the
         # Generator's key concurrently — two threads must not share it
         import jax
@@ -98,6 +107,7 @@ class ContinuousEngine:
             "active": sum(s is not None for s in self._slots),
             "queued": self._q.qsize(),
             "chunk": self.chunk,
+            "speculate_k": self.spec_k,
         }
 
     # ------------------------------------------------------------ lifecycle
@@ -148,12 +158,24 @@ class ContinuousEngine:
 
         b = self._slots.index(None)
         p = req.payload
-        self._state = self.gen.engine_admit(
-            self._state, b, _example_from_payload(p)
-        )
+        ex = _example_from_payload(p)
+        want = _opt(p, "max_new_tokens", 16, int)
+        if self.spec_k:
+            # a live row must reach `want` before its write window
+            # [pos, pos+K] could cross the context end (parking is for
+            # free/finished rows only — engine_spec_chunk docstring)
+            L = self.gen.packer.pack_example(ex).length
+            S = self.gen.cfg.context_len
+            if L + want + self.spec_k + 1 > S:
+                raise ValueError(
+                    "speculative continuous batching needs prompt + "
+                    f"max_new_tokens + K + 1 <= context ({L} + {want} + "
+                    f"{self.spec_k} + 1 > {S})"
+                )
+        self._state = self.gen.engine_admit(self._state, b, ex)
         self._slots[b] = _Slot(
             req,
-            want=_opt(p, "max_new_tokens", 16, int),
+            want=want,
             det=bool(p.get("deterministic", True)),
             temp=_opt(p, "temperature", 1.0, float),
             top_p=_opt(p, "top_p", 1.0, float),
@@ -182,7 +204,9 @@ class ContinuousEngine:
         req.event.set()
 
     def _loop(self) -> None:
-        self._state = self.gen.engine_init(self.n_slots)
+        self._state = self.gen.engine_init(
+            self.n_slots, speculate_k=self.spec_k
+        )
         n = self.n_slots
         while not self._stop.is_set():
             self._admit_waiting()
@@ -212,11 +236,18 @@ class ContinuousEngine:
                 import jax
 
                 self._key, sub = jax.random.split(self._key)
-                toks, self._state = self.gen.engine_chunk(
-                    self._state, n_steps=self.chunk,
-                    start=self.start_id, end=self.end_id,
-                    det=det, temp=temp, top_p=top_p, rng=sub,
-                )
+                if self.spec_k:
+                    chunks, advs, self._state = self.gen.engine_spec_chunk(
+                        self._state, rounds=self.chunk,
+                        start=self.start_id, end=self.end_id,
+                        K=self.spec_k, ngram=self.ngram,
+                    )
+                else:
+                    toks, self._state = self.gen.engine_chunk(
+                        self._state, n_steps=self.chunk,
+                        start=self.start_id, end=self.end_id,
+                        det=det, temp=temp, top_p=top_p, rng=sub,
+                    )
                 self.stats["chunks"] += 1
             except Exception as e:  # noqa: BLE001 — device fault: fail the
                 # in-flight requests rather than hanging their handlers
@@ -230,7 +261,14 @@ class ContinuousEngine:
                 if s.req.cancelled:  # handler timed out mid-flight
                     self._slots[b] = None
                     continue
-                s.ids.extend(int(t) - self.start_id for t in toks[b])
+                if self.spec_k:
+                    for r in range(self.chunk):
+                        a = int(advs[b, r])
+                        s.ids.extend(
+                            int(t) - self.start_id for t in chunks[b, r, :a]
+                        )
+                else:
+                    s.ids.extend(int(t) - self.start_id for t in toks[b])
                 ids = s.ids[: s.want]
                 cut = _truncate_at_stop(ids, s.req.payload.get("stop"))
                 done = len(cut) < len(ids) or len(ids) >= s.want

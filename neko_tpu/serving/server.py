@@ -122,6 +122,7 @@ class NekoServer:
         max_beams: int = 8,
         continuous_slots: int = 0,
         continuous_chunk: int = 8,
+        continuous_spec_k: int = 0,
         draft_generator=None,
         request_timeout: float = 120.0,
     ):
@@ -160,7 +161,8 @@ class NekoServer:
             from neko_tpu.serving.continuous import ContinuousEngine
 
             self._cont = ContinuousEngine(
-                generator, slots=continuous_slots, chunk=continuous_chunk
+                generator, slots=continuous_slots, chunk=continuous_chunk,
+                speculate_k=continuous_spec_k,
             )
 
         server = self
@@ -424,6 +426,28 @@ class NekoServer:
                 and not payload.get("speculative")
                 and top_k == 0
             )
+            if use_cont and self._cont.spec_k:
+                # SPECULATIVE engine: greedy text requests only (sampled
+                # acceptance needs the per-row p/q residual chain — those
+                # take the coalescing path), and the row must reach `want`
+                # before its K+1-wide write window could cross the context
+                # end (surface overflow as a client error here, not a 500
+                # from the admission thread)
+                use_cont = (
+                    bool(payload.get("deterministic", True))
+                    and "text" in payload
+                )
+                if use_cont:
+                    pe = _example_from_payload(payload)
+                    L = len(self.gen.packer.pack_example(pe).tokens)
+                    if L + want + self._cont.spec_k + 1 > \
+                            self.gen.cfg.context_len:
+                        raise ValueError(
+                            "speculative continuous batching needs prompt "
+                            "+ max_new_tokens + K + 1 <= context "
+                            f"({L} + {want} + {self._cont.spec_k} + 1 > "
+                            f"{self.gen.cfg.context_len})"
+                        )
         else:
             action_kind = str(payload["action_kind"])
             if action_kind not in ("continuous", "discrete"):

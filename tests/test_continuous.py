@@ -383,3 +383,121 @@ def test_http_metrics_endpoint(server):
     c = m["continuous"]
     assert c["slots"] == 3 and c["finished"] >= 1 and c["chunks"] >= 1
     assert c["tokens_out"] >= 4
+
+
+# ------------------------------------------- speculative continuous engine
+def _spec_collect(chunks, advs, b):
+    out = []
+    for r in range(chunks.shape[1]):
+        out.extend(int(t) for t in chunks[b, r, : int(advs[b, r])])
+    return out
+
+
+def test_spec_engine_greedy_matches_generate_batch(gen):
+    """Speculative engine chunks (prompt-lookup verify rounds) deliver the
+    same greedy tokens as plain generate_batch, per row."""
+    s, e = _window(gen)
+    K = 3
+    prompt = {"text": [5, 17, 99, 3, 42, 8]}
+    (ref,) = gen.generate_batch(
+        [prompt], max_new_tokens=16, start=s, end=e, return_logits=False,
+    )
+    st = gen.engine_init(4, speculate_k=K)
+    st = gen.engine_admit(st, 2, prompt)
+    got = []
+    while len(got) < 16:
+        chunks, advs, st = gen.engine_spec_chunk(
+            st, rounds=2, start=s, end=e, K=K,
+        )
+        got.extend(_spec_collect(chunks, advs, 2))
+    assert got[:16] == list(np.asarray(ref)[0])
+
+
+def test_spec_engine_mid_flight_admission_is_exact(gen):
+    """A row admitted between spec chunks produces the same tokens as a
+    fresh single-prompt run — hist and cache rows are fully isolated."""
+    s, e = _window(gen)
+    K = 3
+    pA, pB = {"text": [5, 17, 99, 3, 42, 8]}, {"text": [7, 7, 9]}
+    (refA,) = gen.generate_batch(
+        [pA], max_new_tokens=20, start=s, end=e, return_logits=False)
+    (refB,) = gen.generate_batch(
+        [pB], max_new_tokens=8, start=s, end=e, return_logits=False)
+    st = gen.engine_init(4, speculate_k=K)
+    st = gen.engine_admit(st, 1, pA)
+    chunks, advs, st = gen.engine_spec_chunk(st, rounds=2, start=s, end=e, K=K)
+    gotA = _spec_collect(chunks, advs, 1)
+    st = gen.engine_admit(st, 3, pB)  # join mid-flight
+    while len(gotA) < 20:
+        chunks, advs, st = gen.engine_spec_chunk(
+            st, rounds=2, start=s, end=e, K=K)
+        gotA += _spec_collect(chunks, advs, 1)
+    gotB = []
+    # slot 3 joined one chunk late: replay its tokens from the later chunks
+    # only (collected above would interleave) — rerun cleanly instead
+    st2 = gen.engine_init(2, speculate_k=K)
+    st2 = gen.engine_admit(st2, 0, pB)
+    while len(gotB) < 8:
+        chunks, advs, st2 = gen.engine_spec_chunk(
+            st2, rounds=2, start=s, end=e, K=K)
+        gotB += _spec_collect(chunks, advs, 0)
+    assert gotA[:20] == list(np.asarray(refA)[0])
+    assert gotB[:8] == list(np.asarray(refB)[0])
+
+
+def test_spec_engine_slot_reuse_is_clean(gen):
+    """Re-admitting into a used slot replaces its cache row AND its lookup
+    history."""
+    s, e = _window(gen)
+    K = 3
+    p = {"text": [5, 17, 99, 3, 42, 8]}
+    (ref,) = gen.generate_batch(
+        [p], max_new_tokens=8, start=s, end=e, return_logits=False)
+    st = gen.engine_init(2, speculate_k=K)
+    st = gen.engine_admit(st, 0, {"text": [9, 9, 9, 9]})
+    chunks, advs, st = gen.engine_spec_chunk(st, rounds=3, start=s, end=e, K=K)
+    st = gen.engine_admit(st, 0, p)  # reuse slot 0
+    got = []
+    while len(got) < 8:
+        chunks, advs, st = gen.engine_spec_chunk(
+            st, rounds=2, start=s, end=e, K=K)
+        got += _spec_collect(chunks, advs, 0)
+    assert got[:8] == list(np.asarray(ref)[0])
+
+
+@pytest.fixture(scope="module")
+def spec_server(gen):
+    with NekoServer(
+        gen, port=0, max_batch=4, batch_window_ms=30.0,
+        continuous_slots=3, continuous_chunk=2, continuous_spec_k=3,
+    ) as srv:
+        yield srv
+
+
+def test_http_spec_continuous_matches_direct(spec_server, gen):
+    """Greedy text requests ride the SPECULATIVE engine ('continuous' in
+    the response) and return exactly generate_batch's tokens."""
+    s, e = _window(gen)
+    prompt = [5, 17, 99, 3, 42, 8]
+    code, body = _post(spec_server, {"text": prompt, "max_new_tokens": 12})
+    assert code == 200 and body.get("continuous") is True
+    (ref,) = gen.generate_batch(
+        [{"text": prompt}], max_new_tokens=12, start=s, end=e,
+        return_logits=False,
+    )
+    assert body["tokens"] == [int(t) - s for t in np.asarray(ref)[0]]
+
+
+def test_http_spec_continuous_routing_and_overflow(spec_server):
+    """Sampled requests fall back to the coalescing path; requests that
+    could not finish before the K+1-wide write window crosses the context
+    end are a client error, not a 500."""
+    code, body = _post(spec_server, {
+        "text": [5, 6], "max_new_tokens": 4, "deterministic": False,
+    })
+    assert code == 200 and body.get("continuous") is not True
+    S = CFG.context_len
+    code, body = _post(spec_server, {
+        "text": [1] * 8, "max_new_tokens": S,  # 8 + S + K + 1 > S
+    })
+    assert code == 400 and "speculative continuous" in body["error"]

@@ -110,6 +110,20 @@ def main():
                    help="timed passes per mode; the reported pass is the "
                         "one with median wall time (tunnel jitter rules, "
                         "CLAUDE.md)")
+    p.add_argument("--model_path", type=str, default=None,
+                   help="serve a TRAINED checkpoint instead of the "
+                        "random-init --config arch (speculation acceptance "
+                        "only means something on trained weights)")
+    p.add_argument("--corpus", action="store_true",
+                   help="draw prompts from the synthetic text corpus "
+                        "(random windows) instead of uniform-random ids — "
+                        "in-distribution for checkpoints trained on "
+                        "--text_datasets synthetic")
+    p.add_argument("--spec_k", type=int, default=0,
+                   help="> 0: ALSO benchmark a third mode, "
+                        "'continuous_spec' (--continuous_spec_k): the "
+                        "engine decodes with greedy prompt-lookup verify "
+                        "rounds")
     p.add_argument("--out", type=str, default=None,
                    help="also write the JSON result to this path")
     cli = p.parse_args()
@@ -139,34 +153,64 @@ def main():
             dict(embed_dim=1536, layers=12, heads=12)
             if cli.config == "medium"
             else dict(embed_dim=768, layers=6, heads=24)))
-    cfg = ModelConfig(dropout=0.0, max_patches=0, **arch)
-    model = NekoModel(cfg)
-    packer = SequencePacker(cfg)
     rng = np.random.RandomState(0)
-    init = packer.pack_batch(
-        [{"text": list(rng.randint(1, cfg.text_tokens, size=8))}])
-    init.pop("lengths")
-    params = model.init(
-        {"params": jax.random.key(0)}, to_device_batch(init))["params"]
+    if cli.model_path:
+        from neko_tpu.cli.build import (
+            build_context, load_state_for, resolve_checkpoint_and_args,
+        )
 
-    # identical seeded workload for both modes: varied prompt + length mix
+        ckpt_path, args = resolve_checkpoint_and_args(
+            cli.model_path, {"cpu": True} if cli.tiny else {})
+        ctx, _ = build_context(args, tasks=[], ckpt_path=ckpt_path)
+        state, packer = load_state_for(ctx, ckpt_path)
+        model, params, cfg = ctx.model, state.params, ctx.model_cfg
+    else:
+        cfg = ModelConfig(dropout=0.0, max_patches=0, **arch)
+        model = NekoModel(cfg)
+        packer = SequencePacker(cfg)
+        init = packer.pack_batch(
+            [{"text": list(rng.randint(1, cfg.text_tokens, size=8))}])
+        init.pop("lengths")
+        params = model.init(
+            {"params": jax.random.key(0)}, to_device_batch(init))["params"]
+
+    # identical seeded workload for every mode: varied prompt + length mix
+    corpus_ids = None
+    if cli.corpus:
+        from neko_tpu.tasks.text import _synthetic_corpus
+        from neko_tpu.tokenizers.text import get_text_tokenizer
+
+        tok = get_text_tokenizer("gpt2")
+        corpus_ids = tok.encode(" ".join(_synthetic_corpus()))
     jobs = []
     for i in range(cli.requests):
         L = int(rng.randint(cli.prompt_len // 2, cli.prompt_len + 1))
+        if corpus_ids is not None:
+            o = int(rng.randint(0, max(1, len(corpus_ids) - L)))
+            text = [int(t) for t in corpus_ids[o : o + L]]
+        else:
+            text = [int(t) for t in rng.randint(1, cfg.text_tokens, L)]
         jobs.append({
-            "text": [int(t) for t in rng.randint(1, cfg.text_tokens, L)],
+            "text": text,
             "max_new_tokens": int(
                 rng.randint(max(1, cli.max_new // 2), cli.max_new + 1)),
         })
 
     out = {"config": "tiny" if cli.tiny else cli.config,
+           "model_path": cli.model_path, "corpus": cli.corpus,
            "clients": cli.clients, "requests": cli.requests,
-           "slots": cli.slots, "chunk": cli.chunk}
-    for mode, kwargs in [
+           "slots": cli.slots, "chunk": cli.chunk, "spec_k": cli.spec_k}
+    modes = [
         ("coalesce", dict(max_batch=cli.slots)),
         ("continuous", dict(continuous_slots=cli.slots,
                             continuous_chunk=cli.chunk)),
-    ]:
+    ]
+    if cli.spec_k > 0:
+        modes.append(
+            ("continuous_spec", dict(continuous_slots=cli.slots,
+                                     continuous_chunk=cli.chunk,
+                                     continuous_spec_k=cli.spec_k)))
+    for mode, kwargs in modes:
         gen = Generator(model, params, packer)
         with NekoServer(gen, port=0, **kwargs) as srv:
             host, port = srv.address[0], srv.address[1]
@@ -184,6 +228,10 @@ def main():
     out["speedup_tokens"] = round(
         out["continuous"]["gen_tokens_per_sec"]
         / max(out["coalesce"]["gen_tokens_per_sec"], 1e-9), 3)
+    if cli.spec_k > 0:
+        out["spec_over_continuous"] = round(
+            out["continuous_spec"]["gen_tokens_per_sec"]
+            / max(out["continuous"]["gen_tokens_per_sec"], 1e-9), 3)
     print(json.dumps(out))
     if cli.out:
         with open(cli.out, "w") as f:
