@@ -231,6 +231,7 @@ def optimizer_config_from_args(args: TrainingArgs) -> OptimizerConfig:
         lora_only=bool(args.lora),
         ema_decay=args.ema_decay,
         pipeline_microbatches=args.pipeline_microbatches,
+        pipeline_schedule=args.pipeline_schedule,
     )
 
 

@@ -30,6 +30,8 @@ def chunked_masked_xent(
     target_mask: jnp.ndarray,  # bool [B, S]
     valid_vocab: Optional[int] = None,
     chunk_size: int = 256,
+    return_sum_count: bool = False,
+    one_hot_gather: bool = False,
 ) -> jnp.ndarray:
     B, S, D = hidden.shape
     V = kernel.shape[-1]
@@ -71,7 +73,16 @@ def chunked_masked_xent(
         if valid_vocab is not None and valid_vocab < V:
             logits = jnp.where(col < valid_vocab, logits, -1e30)
         logz = jax.nn.logsumexp(logits, axis=-1)
-        tl = jnp.take_along_axis(logits, t[..., None], axis=-1)[..., 0]
+        if one_hot_gather:
+            # compare-and-reduce instead of take_along_axis: a GATHER along
+            # a 'model'-sharded vocab dim inside a manual shard_map region
+            # trips a grouped-sharding CHECK in the SPMD partitioner
+            # (spmd_partitioner_util.cc:495); the masked reduce partitions
+            # as an ordinary cross-'model' all-reduce.  Same value: the
+            # target column is selected exactly once.
+            tl = jnp.where(col == t[..., None], logits, 0.0).sum(-1)
+        else:
+            tl = jnp.take_along_axis(logits, t[..., None], axis=-1)[..., 0]
         nll = jnp.where(m > 0, logz - tl, 0.0)
         return nll.sum()
 
@@ -82,6 +93,11 @@ def chunked_masked_xent(
     for i in range(n_chunks):
         sl = slice(i * C, (i + 1) * C)
         total = total + chunk_nll(hidden[:, sl], tgt[:, sl], mask[:, sl])
+    if return_sum_count:
+        # un-normalized (sum, count): the 1F1B pipeline accumulates
+        # per-microbatch sums against a precomputed GLOBAL count so the
+        # combined loss equals the full-batch masked mean exactly
+        return total, mask.sum()
     denom = jnp.maximum(mask.sum(), 1.0)
     return total / denom
 

@@ -312,3 +312,348 @@ def pipelined_loss(
         hv, hidden, batch.tokens, batch.input_mask, batch.target_mask,
         valid_vocab=cfg.vocab_size, method=LMHead.loss,
     )
+
+
+# --------------------------------------------------------------------------
+# 1F1B: interleaved one-forward-one-backward schedule with a hand-written
+# backward, bounding per-stage activation memory at O(n_stages) microbatch
+# INPUTS instead of GPipe's O(n_micro).
+# --------------------------------------------------------------------------
+
+def _zero_cotangent(x):
+    """float0 zeros for int/bool primals, ordinary zeros for floats — the
+    cotangent types jax.custom_vjp requires for non-differentiable args."""
+    import numpy as np
+
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return jnp.zeros_like(x)
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _pipeline_1f1b(cfg, mesh, n_micro, deterministic):
+    """Build the custom-VJP 1F1B pipeline loss for a (cfg, mesh, n_micro).
+
+    Why a hand-written schedule: GPipe-via-autodiff (pipeline_hidden) runs
+    ALL forwards, hands the full hidden state to the loss, and lets
+    jax.grad produce the reversed schedule — so every microbatch's
+    activations are live across the fwd/bwd boundary (O(n_micro) memory).
+    1F1B starts a microbatch's backward as soon as its forward leaves the
+    last stage, which requires the loss INSIDE the last stage (cotangents
+    must exist mid-schedule) and an explicit interleaved scan — autodiff
+    cannot produce it.  The returned function therefore computes loss AND
+    all gradients in ONE forward pass and exposes them to jax.grad through
+    jax.custom_vjp (the bwd rule just scales the precomputed grads).
+
+    Schedule (combined ticks; S = n_stages, M = n_micro):
+      * stage i runs the FORWARD of microbatch m at tick t = i + m,
+      * the LAST stage computes the per-microbatch loss + its cotangent in
+        the same tick as that microbatch's forward and starts the backward
+        immediately (the "1B" of 1F1B),
+      * stage i runs the BACKWARD of microbatch m at tick t = (S-1) + m +
+        (S-1-i); total ticks T = M + 2(S-1) vs GPipe's M + S - 1 — the
+        classic synchronous-collective 1F1B tradeoff: ~2x fill/drain
+        bubble bought for activation memory bounded by the schedule depth.
+      * in-flight stage INPUTS at stage i: 2(S-1-i)+1 <= 2S-1 = ring-buffer
+        slots, independent of M.  The backward tick REMATERIALIZES the
+        stage forward from the saved input (jax.vjp inside the tick), so
+        nothing else is stored — 1F1B+full-stage-remat, the memory-optimal
+        configuration.
+      * per-microbatch losses accumulate as masked SUMS against a
+        precomputed global target count, so the combined loss equals the
+        full-batch masked mean bit-for-bit-in-semantics.
+      * the head/ln_f run per microbatch on the last stage (dense chunked
+        CE): gathered loss entries (batch.loss_pos) index GLOBAL batch
+        rows and cannot be split into static-shape per-microbatch sets, so
+        the 1F1B path always uses the dense chunked loss — total head cost
+        equals the dense full-batch path (each position projected once).
+
+    Dropout folds per (microbatch, global layer) exactly like the GPipe
+    path, so 1F1B and GPipe train identically under the same step key.
+    """
+    import flax.linen as nn
+
+    from neko_tpu.models.transformer import Block
+    from neko_tpu.ops.losses import chunked_masked_xent
+
+    n_stages = pipe_axis_size(mesh)
+    shape = dict(mesh.shape)
+    assert n_stages > 1, "1F1B requires a mesh with pipe > 1"
+    assert shape.get("seq", 1) == 1, (
+        "pipeline parallelism does not compose with 'seq' (see module doc)"
+    )
+    assert cfg.layers % n_stages == 0, (
+        f"layers={cfg.layers} not divisible by pipe={n_stages} stages"
+    )
+    assert cfg.stochastic_depth == 0.0, (
+        "stochastic depth is unsupported under pipeline parallelism"
+    )
+    lp = cfg.layers // n_stages
+    act_dtype = cfg.activation_dtype
+
+    block_cls = Block
+    if cfg.remat:
+        block_cls = nn.remat(Block, prevent_cse=False)
+
+    ln_f = nn.LayerNorm(
+        epsilon=1e-5, dtype=act_dtype, param_dtype=cfg.params_dtype
+    )
+
+    K = 2 * n_stages - 1          # ring-buffer slots (max in-flight inputs)
+    T = n_micro + 2 * (n_stages - 1)
+
+    def body(stacked, lnf_p, headk, emb, aux):
+        # manual ONLY over 'pipe' (axis_names below): 'data'/'model' stay
+        # GSPMD-managed inside, same composition contract as the GPipe body
+        stage_params = jax.tree.map(lambda a: a[0], stacked)
+        pid = jax.lax.axis_index("pipe")
+        # fp32 in / cast here: bf16 psums over a manual axis CHECK-crash
+        # XLA:CPU's AllReducePromotion (see pipeline_hidden's body)
+        emb = emb.astype(act_dtype)
+        B, S, D = emb.shape
+        bm = B // n_micro
+        xm = emb.reshape(n_micro, bm, S, D)
+        imm = aux["input_mask"].reshape(n_micro, bm, S)
+        tmm = aux["target_mask"].reshape(n_micro, bm, S)
+        tkm = aux["tokens"].reshape(n_micro, bm, S)
+        # the reshape split B -> (n_micro, bm) must not shard the
+        # microbatch index; keep each microbatch's batch dim on 'data'
+        xm = jax.lax.with_sharding_constraint(xm, P(None, "data"))
+        imm = jax.lax.with_sharding_constraint(imm, P(None, "data"))
+        tmm = jax.lax.with_sharding_constraint(tmm, P(None, "data"))
+        tkm = jax.lax.with_sharding_constraint(tkm, P(None, "data"))
+        inv_total = aux["inv_total"]
+        key = (
+            None if deterministic
+            else jax.random.wrap_key_data(aux["keydata"])
+        )
+        is_first = pid == 0
+        is_last = pid == n_stages - 1
+
+        def stage_fwd(p, x, m, mb_idx):
+            def layer(x, inp):
+                p_l, l_idx = inp
+                rngs = None
+                if key is not None:
+                    gl = pid * lp + l_idx
+                    k = jax.random.fold_in(
+                        jax.random.fold_in(key, mb_idx), gl
+                    )
+                    rngs = {"dropout": k}
+                y = block_cls(
+                    cfg, deterministic=deterministic, mode="train",
+                ).apply({"params": p_l}, x, m, rngs=rngs)
+                return y, None
+
+            x, _ = jax.lax.scan(layer, x, (p, jnp.arange(lp)))
+            return x
+
+        def head_loss(lnf_v, hk, y, tk, im, tm):
+            # per-microbatch UN-normalized CE sum scaled by the global
+            # 1/count — summing over microbatches yields the batch mean
+            h = ln_f.apply({"params": lnf_v}, y)
+            total, _ = chunked_masked_xent(
+                h, hk, tk, im, tm,
+                valid_vocab=cfg.vocab_size, return_sum_count=True,
+                one_hot_gather=True,
+            )
+            return total * inv_total
+
+        up = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        down = [(i, (i - 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            fchan, bchan, abuf, dstage, dlnf, dhk, demb, loss_sum = carry
+            # ---------------- forward: microbatch t - pid
+            mb_f = t - pid
+            valid_f = (mb_f >= 0) & (mb_f < n_micro)
+            mf = jnp.clip(mb_f, 0, n_micro - 1)
+            x_in = jnp.where(is_first, xm[mf], fchan)
+            m_in = imm[mf]
+            y = stage_fwd(stage_params, x_in, m_in, mf)
+            # save the stage INPUT (all the backward needs under remat);
+            # bubble ticks write to the spare slot K
+            slot = jnp.where(valid_f, mf % K, K)
+            abuf = abuf.at[slot].set(x_in)
+
+            # ---------------- last stage: loss + cotangent, same tick
+            lsum, head_vjp = jax.vjp(
+                head_loss, lnf_p, headk, y, tkm[mf], imm[mf], tmm[mf]
+            )
+            d_lnf_m, d_hk_m, dy_local, _, _, _ = head_vjp(
+                jnp.ones((), jnp.float32)
+            )
+            take = valid_f & is_last
+            loss_sum = loss_sum + jnp.where(take, lsum, 0.0)
+            dlnf = jax.tree.map(
+                lambda a, g: a + jnp.where(take, g, 0).astype(a.dtype),
+                dlnf, d_lnf_m,
+            )
+            dhk = dhk + jnp.where(take, d_hk_m, 0).astype(dhk.dtype)
+
+            # ---------------- backward: microbatch t - 2(S-1) + pid
+            mb_b = t - 2 * (n_stages - 1) + pid
+            valid_b = (mb_b >= 0) & (mb_b < n_micro)
+            mb = jnp.clip(mb_b, 0, n_micro - 1)
+            dy_in = jnp.where(is_last, dy_local, bchan).astype(act_dtype)
+            x_sav = abuf[mb % K]
+            m_sav = imm[mb]
+            _, svjp = jax.vjp(
+                lambda p, x: stage_fwd(p, x, m_sav, mb), stage_params, x_sav
+            )
+            dp_m, dx_m = svjp(dy_in)
+            dstage = jax.tree.map(
+                lambda a, g: a + jnp.where(valid_b, g, 0).astype(a.dtype),
+                dstage, dp_m,
+            )
+            # stage 0's dx IS the embedding gradient for microbatch mb
+            dslot = jnp.where(valid_b & is_first, mb, n_micro)
+            demb = demb.at[dslot].set(dx_m.astype(jnp.float32))
+
+            fchan = jax.lax.ppermute(y, "pipe", up)
+            bchan = jax.lax.ppermute(dx_m, "pipe", down)
+            return (
+                fchan, bchan, abuf, dstage, dlnf, dhk, demb, loss_sum
+            ), None
+
+        zeros_like_p = functools.partial(jax.tree.map, jnp.zeros_like)
+        carry = (
+            jnp.zeros((bm, S, D), act_dtype),            # fwd channel
+            jnp.zeros((bm, S, D), act_dtype),            # bwd channel
+            jnp.zeros((K + 1, bm, S, D), act_dtype),     # input ring buffer
+            zeros_like_p(stage_params),                  # grad: stage layers
+            zeros_like_p(lnf_p),                         # grad: ln_f
+            jnp.zeros_like(headk),                       # grad: head kernel
+            jnp.zeros((n_micro + 1, bm, S, D), jnp.float32),  # grad: emb
+            jnp.zeros((), jnp.float32),                  # loss sum
+        )
+        carry, _ = jax.lax.scan(tick, carry, jnp.arange(T))
+        _, _, _, dstage, dlnf, dhk, demb, loss_sum = carry
+
+        # loss / emb grads live only on one stage (others accumulated
+        # masked zeros / wrote the spare slot) — psum over 'pipe'
+        # replicates them (fp32 throughout, see the cast note).  The
+        # ln_f/head grads instead come back stacked over 'pipe' (out_spec
+        # below) and the caller sums outside the manual region: their jit
+        # outputs carry 'model' shardings, and keeping the cross-stage
+        # reduction in GSPMD land keeps the partitioner on the ordinary
+        # resharding path.  (The head-loss gather along the sharded vocab
+        # dim was the op that actually CHECK-crashed the partitioner —
+        # see chunked_masked_xent's one_hot_gather.)
+        loss = jax.lax.psum(loss_sum, "pipe")
+        demb = jax.lax.psum(demb[:n_micro].reshape(B, S, D), "pipe")
+        dstage = jax.tree.map(lambda a: a[None], dstage)  # [1, Lp, ...]
+        dlnf = jax.tree.map(lambda a: a[None], dlnf)      # [1, ...]
+        dhk = dhk[None]                                   # [1, D, V]
+        return loss, dstage, dlnf, dhk, demb
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P("pipe"), P(), P(), P(), P()),
+        out_specs=(P(), P("pipe"), P("pipe"), P("pipe"), P()),
+        axis_names={"pipe"},
+        check_vma=False,
+    )
+
+    def run(stacked, lnf_p, headk, emb, aux):
+        loss, dstage, dlnf, dhk, demb = fn(stacked, lnf_p, headk, emb, aux)
+        dlnf = jax.tree.map(lambda a: a.sum(0), dlnf)
+        dhk = dhk.sum(0)
+        return loss, dstage, dlnf, dhk, demb
+
+    @jax.custom_vjp
+    def pipe_loss(stacked, lnf_p, headk, emb, aux):
+        loss, _, _, _, _ = run(stacked, lnf_p, headk, emb, aux)
+        return loss
+
+    def pipe_loss_fwd(stacked, lnf_p, headk, emb, aux):
+        loss, dstage, dlnf, dhk, demb = run(stacked, lnf_p, headk, emb, aux)
+        return loss, (dstage, dlnf, dhk, demb, aux)
+
+    def pipe_loss_bwd(res, g):
+        dstage, dlnf, dhk, demb, aux = res
+        aux_ct = jax.tree.map(_zero_cotangent, aux)
+        scale = lambda t: jax.tree.map(lambda a: a * g, t)
+        return (scale(dstage), scale(dlnf), scale(dhk), demb * g, aux_ct)
+
+    pipe_loss.defvjp(pipe_loss_fwd, pipe_loss_bwd)
+    return pipe_loss
+
+
+def pipelined_loss_1f1b(
+    model,
+    params: Dict[str, Any],
+    batch,
+    *,
+    mesh: Mesh,
+    n_micro: int,
+    rngs: Optional[Dict[str, jax.Array]] = None,
+    deterministic: bool = False,
+) -> jnp.ndarray:
+    """Full-model training loss with the Block stack pipelined 1F1B.
+
+    Same contract as pipelined_loss (the GPipe schedule) — embed + embed
+    dropout outside, stack + head inside — but the transformer/ln_f/head
+    gradients are computed by the interleaved scan in _pipeline_1f1b and
+    surfaced to jax.grad through its custom VJP: the outer stacking
+    reshape transposes back to canonical per-layer h_i grads, and the
+    embedding cotangent flows into embed_batch's transpose.  See
+    _pipeline_1f1b's docstring for the schedule/memory contract.
+    """
+    from neko_tpu.models.policy import NekoModel
+    from neko_tpu.ops.dropout import materialized_dropout
+
+    cfg = model.cfg
+    n_stages = pipe_axis_size(mesh)
+    B = batch.tokens.shape[0]
+    dp = dict(mesh.shape).get("data", 1)
+    assert B % (dp * n_micro) == 0, (
+        f"batch {B} must split into data={dp} shards x {n_micro} microbatches"
+    )
+    emb = model.apply(
+        {"params": params},
+        batch,
+        deterministic=deterministic,
+        rngs=rngs,
+        method=NekoModel.embed_batch,
+    )
+    dropout_key = None
+    if not deterministic and rngs is not None and "dropout" in rngs:
+        ek, pk = jax.random.split(rngs["dropout"])
+        if cfg.dropout > 0.0:
+            emb = materialized_dropout(ek, emb, cfg.dropout)
+        dropout_key = pk
+
+    tparams = params["transformer"]
+    stacked = _stack_layers(tparams, n_stages, cfg.layers)
+    stacked = jax.lax.with_sharding_constraint(
+        stacked, _stacked_shardings(mesh, stacked)
+    )
+
+    im = batch.input_mask
+    tm = batch.target_mask
+    # global target count (next-token shift, same mask as the dense loss)
+    shifted = jnp.concatenate(
+        [tm[:, 1:], jnp.zeros((B, 1), tm.dtype)], axis=1
+    )
+    count = (im.astype(jnp.float32) * shifted.astype(jnp.float32)).sum()
+    aux = {
+        "tokens": batch.tokens,
+        "input_mask": im,
+        "target_mask": tm,
+        "inv_total": 1.0 / jnp.maximum(count, 1.0),
+        "keydata": (
+            jax.random.key_data(dropout_key) if dropout_key is not None
+            else jnp.zeros((2,), jnp.uint32)
+        ),
+    }
+    pipe_loss = _pipeline_1f1b(
+        cfg, mesh, n_micro, deterministic or dropout_key is None
+    )
+    return pipe_loss(
+        stacked,
+        tparams["ln_f"],
+        params["predict_token"]["kernel"],
+        emb.astype(jnp.float32),
+        aux,
+    )

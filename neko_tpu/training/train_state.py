@@ -72,6 +72,12 @@ class OptimizerConfig:
     # (parallel/pipeline.py).  Bubble fraction = (stages-1)/(micro+stages-1);
     # ignored on meshes without pipeline parallelism.
     pipeline_microbatches: int = 4
+    # 'gpipe': all-forward/all-backward via autodiff (activation memory
+    # O(n_micro)); '1f1b': interleaved hand-written schedule with per-stage
+    # activation memory bounded at O(n_stages) ring-buffered stage inputs
+    # and backward-by-rematerialization (parallel/pipeline.py::
+    # pipelined_loss_1f1b).  Ignored when the mesh has no 'pipe' axis.
+    pipeline_schedule: str = "gpipe"
 
 
 def make_optimizer(cfg: OptimizerConfig) -> Tuple[optax.GradientTransformation, Callable]:
@@ -217,9 +223,16 @@ class TrainContext:
     def _build_train_step(self, state: TrainState, batch: PackedBatch):
         model, tx = self.model, self.tx
 
-        from neko_tpu.parallel.pipeline import pipe_axis_size, pipelined_loss
+        from neko_tpu.parallel.pipeline import (
+            pipe_axis_size, pipelined_loss, pipelined_loss_1f1b,
+        )
 
         n_pipe = pipe_axis_size(self.mesh)
+        pipe_fn = (
+            pipelined_loss_1f1b
+            if self.opt_cfg.pipeline_schedule == "1f1b"
+            else pipelined_loss
+        )
 
         def step_fn(state: TrainState, batch: PackedBatch):
             step_key = jax.random.fold_in(
@@ -229,9 +242,10 @@ class TrainContext:
 
             def loss_fn(params):
                 if n_pipe > 1:
-                    # GPipe microbatch schedule over the 'pipe' mesh axis
+                    # microbatch schedule over the 'pipe' mesh axis:
+                    # GPipe or 1F1B per opt_cfg.pipeline_schedule
                     # (parallel/pipeline.py)
-                    return pipelined_loss(
+                    return pipe_fn(
                         model, params, batch,
                         mesh=self.mesh,
                         n_micro=self.opt_cfg.pipeline_microbatches,
