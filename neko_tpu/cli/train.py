@@ -68,7 +68,19 @@ def run(args: TrainingArgs) -> Trainer:
             path = found
         trainer.state = load_checkpoint(path, jax.tree.map(lambda x: x, trainer.state))
         trainer.steps = int(trainer.state.step)
-        print(f"resumed full train state from {path} at step {trainer.steps}")
+        # restore the host data-stream state (sampler RNGs) so the resumed
+        # run replays the uninterrupted run's example stream bit-for-bit
+        from neko_tpu.utils.host_state import load_host_state_for
+
+        host = load_host_state_for(path, trainer.proc_index)
+        if host is not None:
+            trainer.load_host_state(host)
+            print(f"resumed full train state from {path} at step "
+                  f"{trainer.steps} (host sampler state restored — exact)")
+        else:
+            print(f"resumed device train state from {path} at step "
+                  f"{trainer.steps} (no host_state sidecar: the data "
+                  f"stream restarts from the seed — approximate resume)")
 
     n_params = sum(x.size for x in jax.tree.leaves(trainer.state.params))
     print(f"devices: {jax.devices()}")

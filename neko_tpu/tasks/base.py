@@ -19,3 +19,24 @@ class Task:
 
     def evaluate(self, generator: Generator, **kwargs) -> Dict[str, float]:
         raise NotImplementedError
+
+    # ------------------------------------------------------ exact resume
+    # The training-sampling RNG (`self.rng`) is part of the checkpointed
+    # host data-stream state (utils/host_state.py): a resumed run replays
+    # the uninterrupted run's example stream exactly.  Evaluation draws
+    # from a SEPARATE `eval_rng` so in-loop eval never perturbs the
+    # training stream.  Tasks with extra stream state (cursors, shard
+    # positions) override these.
+    def host_state(self) -> Dict:
+        from neko_tpu.utils import host_state as hs
+
+        state: Dict = {}
+        if getattr(self, "rng", None) is not None:
+            state["rng"] = hs.rng_state(self.rng)
+        return state
+
+    def load_host_state(self, state: Dict) -> None:
+        from neko_tpu.utils import host_state as hs
+
+        if "rng" in state and getattr(self, "rng", None) is not None:
+            hs.set_rng_state(self.rng, state["rng"])

@@ -322,6 +322,12 @@ class ControlTask(Task):
         self.dataset = dataset
         self.context_len = context_len
         self.rng = np.random.default_rng(seed)
+        # evaluation prompts draw from their own stream so in-loop eval
+        # never perturbs the training sample stream (exact-resume contract,
+        # utils/host_state.py)
+        self.eval_rng = np.random.default_rng(
+            None if seed is None else (seed + 0x5EED) % 2**32
+        )
 
         act_space, obs_space = env.action_space, env.observation_space
         assert isinstance(
@@ -498,12 +504,14 @@ class ControlTask(Task):
         max_tokens: int = 1024,
         share_prompt_episodes: bool = True,
         ep_ids: Optional[np.ndarray] = None,
+        rng: Optional[np.random.Generator] = None,
     ) -> List[Dict]:
         """Reference control_task.py:209-325, numpy end to end."""
+        rng = self.rng if rng is None else rng
         num_timesteps = max_tokens // self.tokens_per_timestep
 
         episodes = self.dataset.sample_episodes(
-            batch_size, rng=self.rng, episode_indices=ep_ids
+            batch_size, rng=rng, episode_indices=ep_ids
         )
         main_episodes = episodes
         prompt_episodes = (
@@ -519,7 +527,7 @@ class ControlTask(Task):
             if timesteps_for_main >= ep_len:
                 start, end = 0, ep_len - 1  # reference keeps ep_len-1 steps
             else:
-                start = int(self.rng.integers(0, ep_len - timesteps_for_main))
+                start = int(rng.integers(0, ep_len - timesteps_for_main))
                 end = start + timesteps_for_main
             obs_list.append(slice_obs(ep.observations, start, end))
             act_list.append(slice_obs(ep.actions, start, end))
@@ -539,7 +547,7 @@ class ControlTask(Task):
                 p_end = ep_len - 1
                 p_start = p_end - n_prompt + 1
             else:  # uniform
-                p_start = int(self.rng.integers(0, ep_len - n_prompt))
+                p_start = int(rng.integers(0, ep_len - n_prompt))
                 p_end = p_start + n_prompt - 1
             obs_list[i] = concat_obs(
                 slice_obs(ep.observations, p_start, p_end + 1), obs_list[i]
@@ -605,6 +613,7 @@ class ControlTask(Task):
             max_tokens=generator.cfg.context_len,
             share_prompt_episodes=True,
             ep_ids=self.top_ids,
+            rng=self.eval_rng,  # eval never perturbs the training stream
         )[0]
 
     def evaluate(

@@ -56,6 +56,12 @@ class TextTask(Task):
         self.context_length = context_length
         self.text_tokenizer = get_text_tokenizer(tokenizer_model)
         self.rng = np.random.RandomState(seed)
+        # eval draws (test rows + split points) come from their own stream
+        # so in-loop eval never perturbs the training sample stream
+        # (exact-resume contract, utils/host_state.py)
+        self.eval_rng = np.random.RandomState(
+            None if seed is None else (seed + 0x5EED) % 2**32
+        )
 
         self._data: Dict[str, List[str]] = {"train": [], "test": []}
         for name, path in zip(dataset_names, dataset_paths):
@@ -72,16 +78,19 @@ class TextTask(Task):
             test_split = "test" if "test" in ds else "validation"
             self._data["test"] += [r["text"] for r in ds[test_split]]
 
-    def sample_batch(self, batch_size: int, is_test: bool = False) -> List[Dict]:
+    def sample_batch(
+        self, batch_size: int, is_test: bool = False, rng=None
+    ) -> List[Dict]:
         if batch_size <= 0:
             return []
+        rng = self.rng if rng is None else rng
         rows = self._data["test" if is_test else "train"]
         out: List[Dict] = []
         # resample until full: empty rows are common (e.g. wikitext blank
         # lines) and a short batch would break the static batch shape the
         # compiled train step requires
         for _ in range(64):
-            idx = self.rng.randint(0, len(rows), size=batch_size)
+            idx = rng.randint(0, len(rows), size=batch_size)
             enc = self.text_tokenizer(
                 [rows[i] for i in idx],
                 truncation=True,
@@ -111,7 +120,9 @@ class TextTask(Task):
         )
         if num_examples_to_test <= 0:
             return {}
-        batch_dicts = self.sample_batch(num_examples_to_test, is_test=True)
+        batch_dicts = self.sample_batch(
+            num_examples_to_test, is_test=True, rng=self.eval_rng
+        )
 
         # random split point per example (text_task.py:84)
         items = []
@@ -119,7 +130,7 @@ class TextTask(Task):
             tokens = bd["text"]
             if len(tokens) < 2:
                 continue
-            split = self.rng.randint(1, len(tokens))
+            split = self.eval_rng.randint(1, len(tokens))
             items.append((tokens[:split], tokens[split:]))
 
         ts = generator.cfg.token_space

@@ -86,6 +86,11 @@ class VqaTask(Task):
         seed: Optional[int] = None,
     ):
         self.rng = np.random.RandomState(seed)
+        # eval answer choices draw from their own stream so in-loop eval
+        # never perturbs the training stream (exact-resume contract)
+        self.eval_rng = np.random.RandomState(
+            None if seed is None else (seed + 0x5EED) % 2**32
+        )
         self.text_tokenizer = get_text_tokenizer(tokenizer_model)
         self.image_size = image_size
         assert image_size % patch_size == 0, (
@@ -146,7 +151,7 @@ class VqaTask(Task):
             item = self.test_items[n]
             if not item["answers"]:
                 continue
-            answer = item["answers"][self.rng.randint(len(item["answers"]))]
+            answer = item["answers"][self.eval_rng.randint(len(item["answers"]))]
             target = self.text_tokenizer.encode(" " + answer)
             if len(target) == 0:
                 continue

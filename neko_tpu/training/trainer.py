@@ -96,6 +96,11 @@ class Trainer:
         self.target_budget = self._compute_target_budget()
         self._prefetcher = None
         self._generator = None
+        # host data-stream state of the batch most recently CONSUMED by
+        # train_step — what checkpoints persist so a resumed run replays
+        # the uninterrupted sample stream exactly (utils/host_state.py);
+        # the live RNGs race ahead of it by the prefetch depth
+        self._host_snapshot = None
         # serializes host-side sampling: the prefetch thread and evaluation
         # share task RNGs and h5py handles, which are not thread-safe
         import threading
@@ -224,16 +229,14 @@ class Trainer:
                     logs, step=self.steps, header=f"Iteration {iters}"
                 )
             if self.args.save_model and self.args.save_mode == "last":
-                save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+                self._save()
         except BaseException:
             # preemption / failure safety: persist the full train state so
             # --resume_from continues exactly (the reference has no failure
             # handling at all, SURVEY.md §5.3)
             if self.args.save_model and self.state is not None:
                 try:
-                    path = save_checkpoint(
-                        self.exp_dir, self.state, self.steps, self.args
-                    )
+                    path = self._save()
                     print(f"[neko-tpu] emergency checkpoint: {path}")
                 except Exception as e:  # noqa: BLE001
                     print(f"[neko-tpu] emergency checkpoint failed: {e}")
@@ -271,7 +274,7 @@ class Trainer:
         logs["training/train_loss_std"] = float(np.std(losses))
 
         if self.args.save_model and self.args.save_mode == "checkpoint":
-            save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+            self._save()
         return logs
 
     # ------------------------------------------------------------ training
@@ -305,10 +308,51 @@ class Trainer:
         assert sum(sizes.values()) == bs
         return sizes
 
+    # ------------------------------------------------------- exact resume
+    def host_state(self):
+        """Current host data-stream state (trainer RNG + per-task RNGs)."""
+        from neko_tpu.utils import host_state as hs
+
+        return hs.collect(self.rng, self.tasks)
+
+    def load_host_state(self, snapshot) -> None:
+        from neko_tpu.utils import host_state as hs
+
+        hs.restore(snapshot, self.rng, self.tasks)
+        self._host_snapshot = snapshot
+
+    def _checkpoint_host_state(self):
+        """The state to persist: post-sample state of the batch consumed at
+        the current step, falling back to the live state before any batch
+        was consumed (step 0)."""
+        if self._host_snapshot is not None:
+            return self._host_snapshot
+        with self._sample_lock:
+            return self.host_state()
+
+    def _save(self) -> str:
+        from neko_tpu.utils.host_state import save_host_state
+
+        path = save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+        save_host_state(
+            self.exp_dir,
+            self.steps,
+            self._checkpoint_host_state(),
+            self.proc_index,
+        )
+        return path
+
     def sample_arrays(self):
         """Sample the task mixture and pack to host numpy arrays."""
         with self._sample_lock:
             return self._sample_arrays_locked()
+
+    def _sample_arrays_with_state(self):
+        """Sample one batch and snapshot the post-sample host RNG state
+        (atomically, under the sampling lock)."""
+        with self._sample_lock:
+            arrays = self._sample_arrays_locked()
+            return arrays, self.host_state()
 
     def _sample_arrays_locked(self):
         sizes = self._mixture_sizes()
@@ -350,15 +394,22 @@ class Trainer:
         batch = from_arrays(arrays)
         return mh.form_global_batch(self.ctx.mesh, batch, self.proc_count)
 
+    def _produce_batch(self):
+        """One (device batch, post-sample host snapshot) pair — the unit the
+        prefetch queue carries so train_step can associate each consumed
+        batch with the RNG state that checkpoints must persist."""
+        arrays, snapshot = self._sample_arrays_with_state()
+        return self.build_batch(arrays), snapshot
+
     def _next_batch(self):
         depth = getattr(self.args, "prefetch_batches", 2)
         if depth <= 0:
-            return self.build_batch()
+            return self._produce_batch()
         if self._prefetcher is None:
             from neko_tpu.data.pipeline import HostPrefetcher
 
             self._prefetcher = HostPrefetcher(
-                self.build_batch,
+                self._produce_batch,
                 depth=depth,
                 workers=getattr(self.args, "prefetch_workers", 1),
             )
@@ -374,7 +425,7 @@ class Trainer:
             max(0, self.steps - 1) // accum
         )
         t0 = time.time()
-        batch = self._next_batch()
+        batch, pending_snapshot = self._next_batch()
         # with prefetch this is pure queue wait: ~0 when the host pipeline
         # keeps up, ~(host_pipeline - device_step) when it doesn't
         logs["time/sample_batch"] = time.time() - t0
@@ -382,6 +433,10 @@ class Trainer:
             logs["time/host_pipeline"] = self._prefetcher.last_produce_time
         self._maybe_profile()
         self.state, loss = self.ctx.train_step(self.state, batch)
+        # commit only after the step is dispatched: an interrupt mid-step
+        # leaves the snapshot at the previous batch, so resume replays the
+        # batch whose update never happened
+        self._host_snapshot = pending_snapshot
         return loss, logs
 
     def _maybe_profile(self):

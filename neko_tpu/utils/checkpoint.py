@@ -2,9 +2,14 @@
 
 The reference writes `args.json` once plus `checkpoint_{steps}.pt` state_dicts
 with no optimizer/RNG state (utils/utils.py:19-32 — resume is approximate by
-design).  Here the FULL train state (params + AdamW moments + step + RNG) is
-checkpointed via Orbax so resume is exact, while keeping the same directory
-contract: <save_dir>/<exp_name>/args.json + checkpoint_<steps>/.
+design).  Here the FULL train state (params + AdamW moments + step + device
+RNG) is checkpointed via Orbax, and the HOST data-stream state (trainer
+mixture RNG + every task's sampling RNG, snapshotted at the consumed batch)
+is persisted alongside as host_state_<step>_p<proc>.pkl via
+utils/host_state.py — so resume is exact end to end: a resumed run replays
+the uninterrupted run's example stream and loss trajectory bit-for-bit.
+Directory contract unchanged: <save_dir>/<exp_name>/args.json +
+checkpoint_<steps>/.
 """
 
 from __future__ import annotations
