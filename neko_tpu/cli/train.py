@@ -28,12 +28,16 @@ def run(args: TrainingArgs) -> Trainer:
         from neko_tpu.models.import_gpt2 import load_pretrained_gpt2
         from neko_tpu.parallel import sharding as shd
 
-        host_params = jax.device_get(trainer.state.params)
+        # import works on the canonical per-layer layout; re-stack for
+        # stage-local PP storage afterwards (identity off pipeline meshes)
+        host_params = jax.device_get(ctx.unstack_params(trainer.state.params))
         new_params, _ = load_pretrained_gpt2(host_params, args.pretrained_lm)
         new_params = jax.device_put(
             new_params, shd.param_shardings(ctx.mesh, new_params)
         )
-        trainer.state = trainer.state.replace(params=new_params)
+        trainer.state = trainer.state.replace(
+            params=ctx.stack_params(new_params)
+        )
 
     if args.init_checkpoint is not None:
         if args.init_checkpoint.endswith(".pt"):
@@ -41,7 +45,7 @@ def run(args: TrainingArgs) -> Trainer:
             from neko_tpu.models.import_reference import load_reference_checkpoint
             from neko_tpu.parallel import sharding as shd
 
-            host = jax.device_get(trainer.state.params)
+            host = jax.device_get(ctx.unstack_params(trainer.state.params))
             params = load_reference_checkpoint(
                 args.init_checkpoint, host, ctx.model_cfg
             )
@@ -52,9 +56,9 @@ def run(args: TrainingArgs) -> Trainer:
         else:
             from neko_tpu.utils.checkpoint import load_params_only
 
-            abstract = jax.tree.map(lambda x: x, trainer.state)
+            abstract = ctx.canonical_abstract(trainer.state)
             params = load_params_only(args.init_checkpoint, abstract)
-        trainer.state = trainer.state.replace(params=params)
+        trainer.state = trainer.state.replace(params=ctx.stack_params(params))
 
     if args.resume_from is not None:
         import os
@@ -66,7 +70,11 @@ def run(args: TrainingArgs) -> Trainer:
             found = latest_checkpoint(path)
             assert found, f"no checkpoint_* under {path}"
             path = found
-        trainer.state = load_checkpoint(path, jax.tree.map(lambda x: x, trainer.state))
+        # checkpoints are canonical per-layer; restore into that layout and
+        # reshard to stage-local stacked storage on pipeline meshes
+        trainer.state = ctx.from_canonical_state(
+            load_checkpoint(path, ctx.canonical_abstract(trainer.state))
+        )
         trainer.steps = int(trainer.state.step)
         # restore the host data-stream state (sampler RNGs) so the resumed
         # run replays the uninterrupted run's example stream bit-for-bit

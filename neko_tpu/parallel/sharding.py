@@ -137,6 +137,28 @@ def np_prod(shape) -> int:
     return out
 
 
+def stacked_param_pspec(path, value, mesh: Optional[Mesh], fsdp: bool = False) -> P:
+    """Spec for a stage-local stacked leaf [n_stages, Lp, <layer dims>]
+    (parallel/pipeline.py::STACK_KEY): 'pipe' on the stage dim, the leaf's
+    Megatron 'model' spec on its own trailing dims, and — under --fsdp —
+    additionally the largest still-replicated dim on 'data' (ZeRO-3 composes
+    with stage-local PP: each device then holds stage_layers/data_shards of
+    the body + moments)."""
+    base = prune_spec(param_pspec(path, value), mesh)
+    entries = ["pipe", None] + list(base)
+    entries += [None] * (value.ndim - len(entries))
+    if fsdp and mesh is not None:
+        data = dict(mesh.shape).get("data", 1)
+        if data > 1 and np_prod(value.shape) >= FSDP_MIN_SIZE:
+            cand = [
+                i for i, e in enumerate(entries)
+                if e is None and value.shape[i] % data == 0
+            ]
+            if cand:
+                entries[max(cand, key=lambda j: value.shape[j])] = "data"
+    return prune_spec(P(*entries), mesh)
+
+
 # [B, S] fields whose sequence dim shards over 'seq' under sequence
 # parallelism (the patch pool and gathered-loss index arrays are pooled over
 # the whole batch, not laid out along S — they stay seq-replicated and XLA

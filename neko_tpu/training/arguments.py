@@ -128,7 +128,7 @@ class TrainingArgs:
     # ---- TPU-framework extensions (not in the reference) ----
     mesh_model_axis: int = field(default=1, metadata={"help": "Tensor-parallel degree; data axis = n_devices / (this * mesh_seq_axis)."})
     mesh_seq_axis: int = field(default=1, metadata={"help": "Sequence-parallel degree: shards the context dim over a 'seq' mesh axis and runs ring attention over it — trains contexts larger than one chip's attention memory (new capability; the reference truncates)."})
-    mesh_pipe_axis: int = field(default=1, metadata={"help": "Pipeline-parallel degree: transformer layers split into this many stages and microbatches stream through them GPipe-style over a 'pipe' mesh axis (parallel/pipeline.py). Composes with data AND tensor parallelism (--mesh_model_axis; not --mesh_seq_axis); layers must divide evenly. Distributes compute/activations, NOT parameter or optimizer memory — params stay replicated over 'pipe' (checkpoint layout); combine with --fsdp to shard state. The reference's layer-wise parallelize() is dead code (trajectory_gpt2.py:559-589)."})
+    mesh_pipe_axis: int = field(default=1, metadata={"help": "Pipeline-parallel degree: transformer layers split into this many stages and microbatches stream through them GPipe-style over a 'pipe' mesh axis (parallel/pipeline.py). Composes with data AND tensor parallelism (--mesh_model_axis; not --mesh_seq_axis); layers must divide evenly. Parameters are STAGE-LOCAL: the body (params + AdamW moments + EMA) lives stacked and sharded over 'pipe', ~1/stages per device; checkpoints reshard to the canonical per-layer layout (byte-compatible across meshes). --fsdp composes (additionally shards over 'data'). The reference's layer-wise parallelize() is dead code (trajectory_gpt2.py:559-589)."})
     pipeline_microbatches: int = field(default=4, metadata={"help": "Microbatches per GPipe tick when mesh_pipe_axis > 1; per-host batch must divide by data_axis * this. Bubble fraction = (stages-1)/(this+stages-1)."})
     pipeline_schedule: Literal["gpipe", "1f1b"] = field(default="gpipe", metadata={"help": "Microbatch schedule when mesh_pipe_axis > 1. gpipe: all-forward/all-backward via autodiff, activation memory grows with the in-flight microbatch count. 1f1b: interleaved one-forward-one-backward with a hand-written backward — per-stage activation memory bounded at O(stages) ring-buffered stage inputs (backward rematerializes the stage), bubble 2(stages-1) ticks vs gpipe's stages-1; loss/grad-identical (tests/test_pipeline.py). Uses the dense chunked CE (gathered loss entries are not microbatch-partitionable)."})
     fsdp: bool = field(default=False, metadata={"help": "ZeRO-3/FSDP: shard params, AdamW moments and the EMA shadow over the 'data' mesh axis too (parallel/sharding.py::fsdp_param_pspec); XLA emits the use-site all-gathers and gradient reduce-scatters. Cuts per-chip state memory ~data_axis-fold vs the reference's replicated DDP (train.py:26-40). Loss-identical to the replicated path (tests/test_fsdp.py)."})

@@ -140,6 +140,21 @@ class TrainContext:
         # (parallel/sharding.py::fsdp_param_pspec); plain jit emits the
         # use-site all-gathers and gradient reduce-scatters
         self.fsdp = fsdp
+        from neko_tpu.parallel.pipeline import pipe_axis_size
+
+        # stage-local PP storage: on a 'pipe' mesh the TrainState stores the
+        # Block stack as transformer/h_stack [n_stages, Lp, ...] sharded
+        # over 'pipe' — each stage's devices hold only their layers' params,
+        # AdamW moments and EMA (parallel/pipeline.py::STACK_KEY).  The
+        # canonical per-layer tree remains the checkpoint/interop layout
+        # (to_canonical_state / from_canonical_state reshard at the
+        # boundary).
+        self.n_pipe = pipe_axis_size(mesh)
+        if self.n_pipe > 1:
+            assert model_cfg.layers % self.n_pipe == 0, (
+                f"layers={model_cfg.layers} not divisible by "
+                f"pipe={self.n_pipe} stages"
+            )
         self.model = NekoModel(model_cfg)
         self.tx, self.schedule = make_optimizer(opt_cfg)
         from neko_tpu.training.schedulers import (
@@ -164,6 +179,14 @@ class TrainContext:
 
         def _init(rng, batch):
             params = self.model.init({"params": rng}, batch)["params"]
+            if self.n_pipe > 1:
+                from neko_tpu.parallel.pipeline import stack_pipeline_tree
+
+                # stage-local storage from step 0: moments/EMA inherit the
+                # stacked layout because they are initialized from it
+                params = stack_pipeline_tree(
+                    params, self.n_pipe, self.model_cfg.layers
+                )
             opt_state = self.tx.init(params)
             ema = (
                 jax.tree.map(jnp.copy, params)
@@ -195,6 +218,16 @@ class TrainContext:
         # and to the param-shaped adam moments inside opt_state; scalars and
         # RNG keys fall through to replicated.  Axes the mesh doesn't carry
         # (e.g. 'model' on a pipeline mesh) are pruned to replicated.
+        if self.n_pipe > 1:
+            from neko_tpu.parallel.pipeline import STACK_KEY
+
+            names = shd._path_names(path)
+            if STACK_KEY in names:
+                # stage-local stacked leaf: 'pipe' on the stage dim (+ TP
+                # on the layer dims, + 'data' under --fsdp)
+                return shd.stacked_param_pspec(
+                    path, value, self.mesh, self.fsdp
+                )
         if self.fsdp:
             return shd.fsdp_param_pspec(path, value, self.mesh)
         return shd.prune_spec(shd.param_pspec(path, value), self.mesh)
@@ -303,8 +336,17 @@ class TrainContext:
         """Deterministic loss on a batch (no grads)."""
         if self._eval_step is None:
             model = self.model
+            n_pipe = self.n_pipe
 
             def fn(params, batch):
+                if n_pipe > 1:
+                    # sequential eval on a pipe mesh: gather the stacked
+                    # stage-local body back to the canonical tree
+                    from neko_tpu.parallel.pipeline import (
+                        unstack_pipeline_tree,
+                    )
+
+                    params = unstack_pipeline_tree(params)
                 _, loss = model.apply(
                     {"params": params}, batch, deterministic=True, compute_loss=True
                 )
@@ -313,6 +355,113 @@ class TrainContext:
             self._eval_step = jax.jit(fn)
         with self.mesh:
             return self._eval_step(state.params, batch)
+
+    # --------------------------------------------- stage-local PP reshards
+    def unstack_params(self, params):
+        """Stage-local stacked params -> canonical per-layer tree (identity
+        off pipeline meshes).  Used by the decode-loop Generator and the
+        GPT-2/LoRA import paths, which consume the canonical layout."""
+        from neko_tpu.parallel.pipeline import (
+            params_are_stacked, unstack_pipeline_tree,
+        )
+
+        if self.n_pipe <= 1 or not params_are_stacked(params):
+            return params
+        if getattr(self, "_unstack_params_fn", None) is None:
+            ab = jax.eval_shape(unstack_pipeline_tree, params)
+            out_sh = jax.tree_util.tree_map_with_path(
+                lambda p, v: NamedSharding(
+                    self.mesh,
+                    shd.prune_spec(shd.param_pspec(p, v), self.mesh),
+                ),
+                ab,
+            )
+            self._unstack_params_fn = jax.jit(
+                unstack_pipeline_tree, out_shardings=out_sh
+            )
+        with self.mesh:
+            return self._unstack_params_fn(params)
+
+    def stack_params(self, params):
+        """Canonical per-layer params -> stage-local stacked layout
+        (identity off pipeline meshes)."""
+        from neko_tpu.parallel.pipeline import (
+            params_are_stacked, stack_pipeline_tree,
+        )
+
+        if self.n_pipe <= 1 or params_are_stacked(params):
+            return params
+        fn = lambda p: stack_pipeline_tree(
+            p, self.n_pipe, self.model_cfg.layers
+        )
+        ab = jax.eval_shape(fn, params)
+        out_sh = jax.tree_util.tree_map_with_path(
+            lambda p, v: NamedSharding(self.mesh, self._state_pspec(p, v)), ab
+        )
+        with self.mesh:
+            return jax.jit(fn, out_shardings=out_sh)(params)
+
+    def to_canonical_state(self, state: TrainState) -> TrainState:
+        """Reshard a stage-local TrainState to the canonical per-layer
+        layout for checkpointing (identity off pipeline meshes) — on-disk
+        checkpoints stay byte-compatible with every other mesh."""
+        from neko_tpu.parallel.pipeline import unstack_pipeline_tree
+
+        if self.n_pipe <= 1:
+            return state
+        if getattr(self, "_to_canonical_fn", None) is None:
+            ab = jax.eval_shape(unstack_pipeline_tree, state)
+            out_sh = jax.tree_util.tree_map_with_path(
+                lambda p, v: NamedSharding(
+                    self.mesh, self._canonical_pspec(p, v)
+                ),
+                ab,
+            )
+            self._to_canonical_fn = jax.jit(
+                unstack_pipeline_tree, out_shardings=out_sh
+            )
+        with self.mesh:
+            return self._to_canonical_fn(state)
+
+    def from_canonical_state(self, state: TrainState) -> TrainState:
+        """Inverse of to_canonical_state (identity off pipeline meshes)."""
+        from neko_tpu.parallel.pipeline import stack_pipeline_tree
+
+        if self.n_pipe <= 1:
+            return state
+        fn = lambda s: stack_pipeline_tree(
+            s, self.n_pipe, self.model_cfg.layers
+        )
+        ab = jax.eval_shape(fn, state)
+        out_sh = jax.tree_util.tree_map_with_path(
+            lambda p, v: NamedSharding(self.mesh, self._state_pspec(p, v)), ab
+        )
+        with self.mesh:
+            return jax.jit(fn, out_shardings=out_sh)(state)
+
+    def _canonical_pspec(self, path, value) -> P:
+        """_state_pspec for the canonical (unstacked) layout — never sees
+        h_stack paths."""
+        if self.fsdp:
+            return shd.fsdp_param_pspec(path, value, self.mesh)
+        return shd.prune_spec(shd.param_pspec(path, value), self.mesh)
+
+    def canonical_abstract(self, state: TrainState):
+        """ShapeDtypeStructs (with shardings) of the canonical layout of
+        `state` — the restore template for Orbax checkpoints written by any
+        mesh (identity off pipeline meshes)."""
+        from neko_tpu.parallel.pipeline import unstack_pipeline_tree
+
+        if self.n_pipe <= 1:
+            return jax.tree.map(lambda x: x, state)
+        ab = jax.eval_shape(unstack_pipeline_tree, state)
+        return jax.tree_util.tree_map_with_path(
+            lambda p, v: jax.ShapeDtypeStruct(
+                v.shape, v.dtype,
+                sharding=NamedSharding(self.mesh, self._canonical_pspec(p, v)),
+            ),
+            ab,
+        )
 
     def current_lr(self, step: int) -> float:
         # host-side math: evaluating the jnp schedule eagerly runs on the

@@ -333,7 +333,11 @@ class Trainer:
     def _save(self) -> str:
         from neko_tpu.utils.host_state import save_host_state
 
-        path = save_checkpoint(self.exp_dir, self.state, self.steps, self.args)
+        # stage-local PP storage reshards to the canonical per-layer layout
+        # at the checkpoint boundary (identity off pipeline meshes) — the
+        # on-disk artifact is byte-compatible across meshes
+        state = self.ctx.to_canonical_state(self.state)
+        path = save_checkpoint(self.exp_dir, state, self.steps, self.args)
         save_host_state(
             self.exp_dir,
             self.steps,
@@ -500,7 +504,9 @@ class Trainer:
     # ---------------------------------------------------------- evaluation
     def evaluate(self) -> Dict:
         logs: Dict = {}
-        params = self.state.params
+        # stage-local PP storage: the decode-loop Generator consumes the
+        # canonical per-layer tree (identity off pipeline meshes)
+        params = self.ctx.unstack_params(self.state.params)
         if self.proc_count > 1:
             # multi-host: the decode-loop eval runs per-host and cannot
             # consume pod-sharded params.  Form a DEVICE-side replica (one
