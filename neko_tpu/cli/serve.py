@@ -80,13 +80,17 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--continuous_chunk", type=int, default=8,
                    help="decode tokens per engine device call")
     p.add_argument("--continuous_spec_k", type=int, default=0,
-                   help="> 0: the continuous engine decodes with GREEDY "
-                        "prompt-lookup speculation — each device call runs "
-                        "continuous_chunk verify rounds advancing every "
-                        "row by its accepted 1..K+1 tokens (3.71x "
-                        "steady-state on in-distribution text, PROFILE.md);"
-                        " sampled requests fall back to the coalescing "
-                        "path")
+                   help="> 0: ADAPTIVE prompt-lookup speculation in the "
+                        "continuous engine — per device call it picks "
+                        "verify rounds (advance 1..K+1/row, 3.71x "
+                        "steady-state) or plain chunks, per the "
+                        "spec_threshold policy; sampled rows use the "
+                        "per-row rejection rule (distribution-exact)")
+    p.add_argument("--continuous_spec_threshold", type=int, default=48,
+                   help="run verify rounds only while some active row "
+                        "still wants >= this many tokens (short bursts "
+                        "are admission-bound and lose ~19%% to spec's "
+                        "costlier call — PROFILE.md serving tables)")
     p.add_argument("--draft_model_path", type=str, default=None,
                    help="checkpoint of a (smaller) draft model sharing the "
                         "token space: speculative requests then verify "
@@ -122,6 +126,7 @@ def main(argv: Optional[list] = None) -> None:
         continuous_slots=cli.continuous_slots,
         continuous_chunk=cli.continuous_chunk,
         continuous_spec_k=cli.continuous_spec_k,
+        continuous_spec_threshold=cli.continuous_spec_threshold,
         draft_generator=draft,
         request_timeout=cli.request_timeout,
     ).start()

@@ -215,11 +215,12 @@ class Generator:
             self._engine_adopt_impl,
             donate_argnames=("cache", "last_logits", "pos"),
         )
-        # speculative continuous batching: greedy verify rounds over the
-        # slot pool (engine_spec_chunk)
+        # speculative continuous batching: verify rounds over the slot
+        # pool, per-row greedy/sampled knobs traced (engine_spec_chunk)
         self._engine_spec_chunk_j = jit(
             self._engine_spec_chunk_impl,
-            static_argnames=("rounds", "start", "end", "K", "ngram"),
+            static_argnames=("rounds", "start", "end", "K", "ngram",
+                             "use_top_p"),
             donate_argnames=("cache", "hist"),
         )
 
@@ -1347,6 +1348,7 @@ class Generator:
     # --------------------------------------- continuous-batching engine
     def _engine_chunk_impl(
         self, params, cache, last_logits, pos, key, det, temp, top_p,
+        hist=None, reject=None,
         *, n_steps, start, end, use_top_p,
     ):
         """Decode `n_steps` tokens for ALL engine slots in one compiled
@@ -1365,9 +1367,19 @@ class Generator:
         whole row), which keeps the batch shape static — the decode step
         is weight-stream-bound, so idle rows are nearly free (PROFILE.md:
         B=8→32 costs only +12%).
+
+        `hist`/`reject` are present on a speculative engine state: the
+        plain chunk writes its tokens into the prompt-lookup history and
+        consumes a pending sampled-rejection residual on its first draw,
+        so the adaptive engine (serving/continuous.py) can interleave
+        plain chunks with spec rounds without distribution drift.
         """
+        W = end - start + 1
+        N = pos.shape[0]
+        rows = jnp.arange(N)
+
         def body(carry, _):
-            cache, last_logits, pos, key = carry
+            cache, last_logits, pos, key, hist, reject = carry
             # fp8 serving: dequantize in-body (once per token; see _dq)
             p = self._dq(params)
             key, sub = jax.random.split(key)
@@ -1377,8 +1389,22 @@ class Generator:
                 window, temperature=temp[:, None], top_k=0,
                 top_p=top_p[:, None], use_top_p=use_top_p,
             )
+            if reject is not None:
+                # residual of a sampled spec rejection: mask the rejected
+                # token from this (first effective) draw, then clear
+                has = reject >= 0
+                oh = jax.nn.one_hot(
+                    jnp.clip(reject, 0, W - 1), W, dtype=bool
+                )
+                warped = jnp.where(has[:, None] & oh, -jnp.inf, warped)
+                reject = jnp.full_like(reject, -1)
             sampled = jax.random.categorical(sub, warped, axis=-1)
             tok = (jnp.where(det, greedy, sampled) + start).astype(jnp.int32)
+            if hist is not None:
+                # keep the prompt-lookup history current for later spec
+                # rounds (scatter clamps at the tail for rung-over rows —
+                # the mode policy never specs those)
+                hist = hist.at[rows, pos].set(tok, mode="clip")
             emb = self.model.apply(
                 {"params": p}, tok[:, None], method=NekoModel.embed_tokens
             )
@@ -1387,21 +1413,25 @@ class Generator:
                 pos % self.cfg.context_len,
                 method=NekoModel.decode_step, mutable=["cache"],
             )
-            return (vars_["cache"], logits[:, 0], pos + 1, key), tok
+            return (
+                vars_["cache"], logits[:, 0], pos + 1, key, hist, reject
+            ), tok
 
         carry, toks = jax.lax.scan(
-            body, (cache, last_logits, pos, key), None, length=n_steps
+            body, (cache, last_logits, pos, key, hist, reject), None,
+            length=n_steps,
         )
-        cache, last_logits, pos, _ = carry
-        return jnp.swapaxes(toks, 0, 1), cache, last_logits, pos
+        cache, last_logits, pos, _, hist, reject = carry
+        return jnp.swapaxes(toks, 0, 1), cache, last_logits, pos, hist, reject
 
     def _engine_spec_chunk_impl(
-        self, params, cache, last_logits, pos, hist,
-        *, rounds, start, end, K, ngram,
+        self, params, cache, last_logits, pos, hist, reject, key,
+        det, temp, top_p,
+        *, rounds, start, end, K, ngram, use_top_p,
     ):
-        """Advance every engine slot by `rounds` GREEDY prompt-lookup
-        verify rounds in one compiled call — speculative decoding inside
-        the continuous-batching engine.
+        """Advance every engine slot by `rounds` prompt-lookup verify
+        rounds in one compiled call — speculative decoding inside the
+        continuous-batching engine, GREEDY AND SAMPLED per row.
 
         Each round is one append-mode extend_step verifying a0 + K
         lookup proposals per row (same cache discipline as
@@ -1411,30 +1441,56 @@ class Generator:
         in-distribution text).  Rows whose next write window [pos, pos+K]
         would cross the context end PARK (advance 0, keep their
         pre-round state; their extend re-writes a clamped stale window
-        that only ever belongs to them) — admission guarantees live
-        requests finish before parking (prompt + want + K + 1 <= S,
-        serving/continuous.py), so parking only ever idles free/finished
-        rows awaiting slot reuse.  Greedy only: per-row sampled
-        acceptance needs the p/q residual chain, which the coalescing
-        spec path provides; the server routes sampled requests there.
+        that only ever belongs to them) — the engine's chunk-mode policy
+        never issues a spec round while an active row could park
+        (serving/continuous.py::_run_spec).
+
+        Per-row sampling (VERDICT r4 #3b): `det`/`temp`/`top_p` are traced
+        per-row operands exactly like _engine_chunk_impl's; sampled rows
+        use the point-mass rejection rule (accept proposal t with prob
+        P(t) under the row's warped target; on rejection the next a0 draw
+        masks t out — the `reject` carry, window-relative, -1 = none),
+        which preserves each row's target distribution exactly (same rule
+        the TV-tested _spec_decode_impl applies with shared knobs).
+        Per-row accepted counts and residual draws are per-row data, just
+        like the temperature operands — nothing about them fails to
+        batch.
 
         Returns (chunks [N, rounds, K+1] absolute ids, advs [N, rounds]
-        accepted counts, cache, last_logits, pos, hist) — the host keeps
-        chunks[b, r, :advs[b, r]] per row.
+        accepted counts, cache, last_logits, pos, hist, reject) — the
+        host keeps chunks[b, r, :advs[b, r]] per row.
         """
         S = self.cfg.context_len
         N, Hlen = hist.shape
         rows = jnp.arange(N)
         kcol = jnp.arange(K + 1)[None, :]                    # [1, K+1]
+        W = end - start + 1
+
+        def warp(w):
+            # broadcast the per-row knobs across any [N, ..., W] rank
+            extra = (1,) * (w.ndim - 1)
+            return apply_logit_filters(
+                w, temperature=temp.reshape(temp.shape + extra), top_k=0,
+                top_p=top_p.reshape(top_p.shape + extra),
+                use_top_p=use_top_p,
+            )
 
         def body(carry, _):
-            cache, last_logits, pos, hist = carry
+            cache, last_logits, pos, hist, reject, key = carry
             # fp8 serving: dequantize in-body (once per round; see _dq)
             p = self._dq(params)
             parked = pos + K + 1 > S
             wpos = jnp.minimum(pos, S - K - 1)
             win0 = last_logits[:, start : end + 1]
-            a0 = (jnp.argmax(win0, axis=-1) + start).astype(jnp.int32)
+            g0 = jnp.argmax(win0, axis=-1)
+            w0 = warp(win0)
+            # residual rule: mask the prior round's rejected proposal
+            has = reject >= 0
+            oh = jax.nn.one_hot(jnp.clip(reject, 0, W - 1), W, dtype=bool)
+            w0 = jnp.where(has[:, None] & oh, -jnp.inf, w0)
+            key, k0 = jax.random.split(key)
+            s0 = jax.random.categorical(k0, w0, axis=-1)
+            a0 = (jnp.where(det, g0, s0) + start).astype(jnp.int32)
             hist2 = hist.at[rows, pos].set(a0)   # Hlen = S+K+1: in bounds
             props = self._lookup_proposals(hist2, pos + 1, K=K, ngram=ngram)
             chunk = jnp.concatenate([a0[:, None], props], axis=1)  # [N,K+1]
@@ -1448,26 +1504,62 @@ class Generator:
             cache = vars_["cache"]
             win = logits[:, :, start : end + 1]              # [N, K+1, W]
             greedy = (jnp.argmax(win, axis=-1) + start).astype(jnp.int32)
-            ok = props == greedy[:, :K]
+            ok_g = props == greedy[:, :K]
+            # sampled acceptance: accept t w.p. P(t) under the row's
+            # warped target (point-mass draft preserves P exactly)
+            P = jax.nn.softmax(warp(win[:, :K]), axis=-1)    # [N, K, W]
+            in_win = (props >= start) & (props <= end)
+            pt = jnp.where(
+                in_win,
+                P[rows[:, None], jnp.arange(K)[None, :],
+                  jnp.clip(props - start, 0, W - 1)],
+                0.0,
+            )
+            key, ku = jax.random.split(key)
+            u = jax.random.uniform(ku, (N, K))
+            ok = jnp.where(det[:, None], ok_g, u < pt)
             m = jnp.argmin(jnp.concatenate(
                 [ok.astype(jnp.int32), jnp.zeros((N, 1), jnp.int32)],
                 axis=1,
             ), axis=1)                                       # [N]
             adv = jnp.where(parked, 0, m + 1)
+            # next-round residual only for a sampled, in-window rejection
+            rj = props[rows, jnp.clip(m, 0, K - 1)]
+            new_reject = jnp.where(
+                (~det) & (m < K) & (rj >= start) & (rj <= end),
+                rj - start, -1,
+            ).astype(jnp.int32)
+            reject = jnp.where(parked, reject, new_reject)
             hist2 = hist2.at[rows[:, None], pos[:, None] + kcol].set(chunk)
             hist = jnp.where(parked[:, None], hist, hist2)
             last_logits = jnp.where(
                 parked[:, None], last_logits, logits[rows, m]
             )
-            return (cache, last_logits, pos + adv, hist), (chunk, adv)
+            return (
+                cache, last_logits, pos + adv, hist, reject, key
+            ), (chunk, adv)
 
         carry, (chunks, advs) = jax.lax.scan(
-            body, (cache, last_logits, pos, hist), None, length=rounds
+            body, (cache, last_logits, pos, hist, reject, key), None,
+            length=rounds,
         )
-        cache, last_logits, pos, hist = carry
+        cache, last_logits, pos, hist, reject, _ = carry
+        # append-mode extend never maintains the cache 'mask' variable
+        # (validity inside verify rounds is the iota compare); the ADAPTIVE
+        # engine may run plain decode chunks next, and decode-mode validity
+        # IS the mask — refresh it to the accepted prefix [0, pos).  Right-
+        # padded prompts guarantee the prefix has no holes (engine_admit).
+        valid = jnp.arange(S)[None, :] < jnp.minimum(pos, S)[:, None]
+
+        def _refresh(path, leaf):
+            last = path[-1]
+            name = str(getattr(last, "key", getattr(last, "name", last)))
+            return valid if name == "mask" else leaf
+
+        cache = jax.tree_util.tree_map_with_path(_refresh, cache)
         return (
             jnp.swapaxes(chunks, 0, 1), jnp.swapaxes(advs, 0, 1),
-            cache, last_logits, pos, hist,
+            cache, last_logits, pos, hist, reject,
         )
 
     def _engine_adopt_impl(
@@ -1505,6 +1597,9 @@ class Generator:
             state["hist"] = jnp.zeros(
                 (slots, self.cfg.context_len + speculate_k + 1), jnp.int32
             )
+            # pending residual per row: window-relative id of a rejected
+            # sampled proposal to mask from the next a0 draw (-1 = none)
+            state["reject"] = jnp.full((slots,), -1, jnp.int32)
         return state
 
     def engine_admit(
@@ -1529,6 +1624,7 @@ class Generator:
             hrow = np.zeros(state["hist"].shape[1], np.int32)
             hrow[:L] = np.asarray(arrays["tokens"][0][:L])
             out["hist"] = state["hist"].at[slot].set(jnp.asarray(hrow))
+            out["reject"] = state["reject"].at[slot].set(-1)
         return out
 
     def engine_chunk(
@@ -1537,42 +1633,64 @@ class Generator:
     ):
         """Advance every slot by `n_steps` tokens; returns (tokens [N,
         n_steps] np.int64 ABSOLUTE ids, new state).  det/temp/top_p are
-        length-N per-row arrays (free slots: True/1.0/1.0)."""
+        length-N per-row arrays (free slots: True/1.0/1.0).
+
+        On a speculative engine state (engine_init speculate_k > 0) the
+        plain chunk keeps the prompt-lookup history current and consumes
+        any pending sampled-rejection residual, so the adaptive engine can
+        interleave plain chunks and spec rounds freely
+        (serving/continuous.py mode policy)."""
         if rng is None:
             self._rng, rng = jax.random.split(self._rng)
         use_top_p = bool(np.any(np.asarray(top_p, np.float32) < 1.0))
-        toks, cache, last, pos = self._engine_chunk_j(
+        toks, cache, last, pos, hist, reject = self._engine_chunk_j(
             self.params, state["cache"], state["last"], state["pos"], rng,
             jnp.asarray(det, bool), jnp.asarray(temp, jnp.float32),
             jnp.asarray(top_p, jnp.float32),
+            state.get("hist"), state.get("reject"),
             n_steps=int(n_steps), start=int(start), end=int(end),
             use_top_p=use_top_p,
         )
-        return (
-            np.asarray(toks, np.int64),
-            {"cache": cache, "last": last, "pos": pos,
-             **({"hist": state["hist"]} if "hist" in state else {})},
-        )
+        out = {"cache": cache, "last": last, "pos": pos}
+        if hist is not None:
+            out["hist"], out["reject"] = hist, reject
+        return np.asarray(toks, np.int64), out
 
     def engine_spec_chunk(
         self, state: Dict, *, rounds: int, start: int, end: int,
-        K: int, ngram: int = 2,
+        K: int, ngram: int = 2, det=None, temp=None, top_p=None,
+        rng: Optional[jax.Array] = None,
     ):
-        """Advance every slot by `rounds` greedy speculative verify rounds
-        (engine_init must have been called with speculate_k=K).  Returns
-        (chunks [N, rounds, K+1] np.int64 absolute ids, advs [N, rounds]
-        accepted counts, new state); row b's round-r tokens are
-        chunks[b, r, :advs[b, r]]."""
-        chunks, advs, cache, last, pos, hist = self._engine_spec_chunk_j(
+        """Advance every slot by `rounds` speculative verify rounds
+        (engine_init must have been called with speculate_k=K), greedy or
+        sampled PER ROW (det/temp/top_p length-N arrays; default all
+        greedy).  Returns (chunks [N, rounds, K+1] np.int64 absolute ids,
+        advs [N, rounds] accepted counts, new state); row b's round-r
+        tokens are chunks[b, r, :advs[b, r]]."""
+        n = state["pos"].shape[0]
+        if det is None:
+            det = np.ones(n, bool)
+        if temp is None:
+            temp = np.ones(n, np.float32)
+        if top_p is None:
+            top_p = np.ones(n, np.float32)
+        if rng is None:
+            self._rng, rng = jax.random.split(self._rng)
+        use_top_p = bool(np.any(np.asarray(top_p, np.float32) < 1.0))
+        (chunks, advs, cache, last, pos, hist,
+         reject) = self._engine_spec_chunk_j(
             self.params, state["cache"], state["last"], state["pos"],
-            state["hist"],
+            state["hist"], state["reject"], rng,
+            jnp.asarray(det, bool), jnp.asarray(temp, jnp.float32),
+            jnp.asarray(top_p, jnp.float32),
             rounds=int(rounds), start=int(start), end=int(end),
-            K=int(K), ngram=int(ngram),
+            K=int(K), ngram=int(ngram), use_top_p=use_top_p,
         )
         return (
             np.asarray(chunks, np.int64),
             np.asarray(advs, np.int64),
-            {"cache": cache, "last": last, "pos": pos, "hist": hist},
+            {"cache": cache, "last": last, "pos": pos, "hist": hist,
+             "reject": reject},
         )
 
     def _select_batch_impl(self, logits, key, *, start, end, deterministic,

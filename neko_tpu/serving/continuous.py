@@ -49,9 +49,10 @@ def _truncate_at_stop(ids: List[int], stop) -> List[int]:
 
 
 class _Slot:
-    __slots__ = ("req", "want", "ids", "det", "temp", "top_p", "co", "sent")
+    __slots__ = ("req", "want", "ids", "det", "temp", "top_p", "co", "sent",
+                 "prompt_len")
 
-    def __init__(self, req, want, det, temp, top_p):
+    def __init__(self, req, want, det, temp, top_p, prompt_len=0):
         self.req = req
         self.want = want
         self.ids: List[int] = []
@@ -60,6 +61,7 @@ class _Slot:
         self.top_p = top_p
         self.co = 0    # max co-resident active slots observed
         self.sent = 0  # tokens already streamed (stream_q requests)
+        self.prompt_len = prompt_len  # host shadow of the device pos base
 
 
 class ContinuousEngine:
@@ -70,20 +72,28 @@ class ContinuousEngine:
     /v1/generate requests (no beams, no speculative, top_k == 0)."""
 
     def __init__(self, generator, *, slots: int = 8, chunk: int = 8,
-                 seed: int = 0, speculate_k: int = 0, lookup_ngram: int = 2):
-        """speculate_k > 0 switches the decode loop to GREEDY speculative
-        verify rounds (Generator.engine_spec_chunk): each device call runs
-        `chunk` rounds, every round costing ~1 decode step but advancing
-        each row by its accepted 1..K+1 prompt-lookup proposals — the
-        steady-state 3.71x (PROFILE.md) applied to the serving path.  The
-        server then routes only deterministic text requests here (sampled
-        acceptance needs the per-row p/q residual chain; those coalesce)."""
+                 seed: int = 0, speculate_k: int = 0, lookup_ngram: int = 2,
+                 spec_threshold: int = 48):
+        """speculate_k > 0 enables ADAPTIVE speculative decoding: per
+        device call the engine picks between plain decode chunks
+        (Generator.engine_chunk) and prompt-lookup verify rounds
+        (engine_spec_chunk), whichever serves the CURRENT residents —
+        spec rounds advance each row by its accepted 1..K+1 proposals
+        (the steady-state 3.71x, PROFILE.md) but cost ~1.03x a plain
+        step, which loses ~19% on short bursts (serving_spec_r4.json); so
+        spec runs only while some active row still wants >=
+        `spec_threshold` more tokens and no row is near the context end
+        (VERDICT r4 #3a — a mixed workload never pays the short-burst
+        regression).  Sampled rows participate in spec rounds with the
+        per-row point-mass rejection rule (engine_spec_chunk; r4 #3b) —
+        outputs preserve each row's target distribution exactly."""
         assert slots >= 1 and chunk >= 1
         self.gen = generator
         self.n_slots = slots
         self.chunk = chunk
         self.spec_k = int(speculate_k)
         self.ngram = int(lookup_ngram)
+        self.spec_threshold = int(spec_threshold)
         # engine-owned sampling stream: the coalescing worker splits the
         # Generator's key concurrently — two threads must not share it
         import jax
@@ -98,7 +108,7 @@ class ContinuousEngine:
         self._slots: List[Optional[_Slot]] = [None] * slots
         # advisory counters (served via GET /metrics)
         self.stats = {"admitted": 0, "finished": 0, "chunks": 0,
-                      "tokens_out": 0}
+                      "tokens_out": 0, "spec_chunks": 0, "plain_chunks": 0}
 
     def metrics(self) -> Dict:
         return {
@@ -108,6 +118,7 @@ class ContinuousEngine:
             "queued": self._q.qsize(),
             "chunk": self.chunk,
             "speculate_k": self.spec_k,
+            "spec_threshold": self.spec_threshold,
         }
 
     # ------------------------------------------------------------ lifecycle
@@ -140,6 +151,24 @@ class ContinuousEngine:
         self._q.put(req)
 
     # --------------------------------------------------------------- loop
+    def _want_spec(self, active: List[int]) -> bool:
+        """Chunk-mode policy (VERDICT r4 #3a): run a verify-round call iff
+        some active row still wants >= spec_threshold more tokens (spec
+        pays on decode-loop-dominated rows; short bursts are
+        admission-bound and lose ~19% to the costlier call) AND no active
+        row's write window could cross the context end (such a row would
+        PARK in a spec round — advance 0 — so plain chunks carry it)."""
+        S = self.gen.cfg.context_len
+        some_long = False
+        for b in active:
+            s = self._slots[b]
+            produced = len(s.ids)
+            if s.prompt_len + produced + self.spec_k + 1 > S:
+                return False  # would park: plain chunks keep it moving
+            if s.want - produced >= self.spec_threshold:
+                some_long = True
+        return some_long
+
     def _admit_waiting(self) -> None:
         while None in self._slots:
             try:
@@ -160,18 +189,14 @@ class ContinuousEngine:
         p = req.payload
         ex = _example_from_payload(p)
         want = _opt(p, "max_new_tokens", 16, int)
+        prompt_len = 0
         if self.spec_k:
-            # a live row must reach `want` before its write window
-            # [pos, pos+K] could cross the context end (parking is for
-            # free/finished rows only — engine_spec_chunk docstring)
-            L = self.gen.packer.pack_example(ex).length
-            S = self.gen.cfg.context_len
-            if L + want + self.spec_k + 1 > S:
-                raise ValueError(
-                    "speculative continuous batching needs prompt + "
-                    f"max_new_tokens + K + 1 <= context ({L} + {want} + "
-                    f"{self.spec_k} + 1 > {S})"
-                )
+            # host shadow of the row's device pos: the mode policy keeps
+            # spec rounds away from rows whose write window [pos, pos+K]
+            # could cross the context end (they would park, advance 0) —
+            # so requests of ANY length admit; oversized ones just decode
+            # through plain chunks near the boundary
+            prompt_len = self.gen.packer.pack_example(ex).length
         self._state = self.gen.engine_admit(self._state, b, ex)
         self._slots[b] = _Slot(
             req,
@@ -179,6 +204,7 @@ class ContinuousEngine:
             det=bool(p.get("deterministic", True)),
             temp=_opt(p, "temperature", 1.0, float),
             top_p=_opt(p, "top_p", 1.0, float),
+            prompt_len=prompt_len,
         )
         self.stats["admitted"] += 1
 
@@ -232,22 +258,26 @@ class ContinuousEngine:
                 s = self._slots[b]
                 det[b], temp[b], top_p[b] = s.det, s.temp, s.top_p
                 s.co = max(s.co, len(active) - 1)
+            run_spec = self.spec_k > 0 and self._want_spec(active)
             try:
                 import jax
 
                 self._key, sub = jax.random.split(self._key)
-                if self.spec_k:
+                if run_spec:
                     chunks, advs, self._state = self.gen.engine_spec_chunk(
                         self._state, rounds=self.chunk,
                         start=self.start_id, end=self.end_id,
                         K=self.spec_k, ngram=self.ngram,
+                        det=det, temp=temp, top_p=top_p, rng=sub,
                     )
+                    self.stats["spec_chunks"] += 1
                 else:
                     toks, self._state = self.gen.engine_chunk(
                         self._state, n_steps=self.chunk,
                         start=self.start_id, end=self.end_id,
                         det=det, temp=temp, top_p=top_p, rng=sub,
                     )
+                    self.stats["plain_chunks"] += 1
                 self.stats["chunks"] += 1
             except Exception as e:  # noqa: BLE001 — device fault: fail the
                 # in-flight requests rather than hanging their handlers
@@ -261,7 +291,7 @@ class ContinuousEngine:
                 if s.req.cancelled:  # handler timed out mid-flight
                     self._slots[b] = None
                     continue
-                if self.spec_k:
+                if run_spec:
                     for r in range(self.chunk):
                         a = int(advs[b, r])
                         s.ids.extend(

@@ -123,6 +123,7 @@ class NekoServer:
         continuous_slots: int = 0,
         continuous_chunk: int = 8,
         continuous_spec_k: int = 0,
+        continuous_spec_threshold: int = 48,
         draft_generator=None,
         request_timeout: float = 120.0,
     ):
@@ -163,6 +164,7 @@ class NekoServer:
             self._cont = ContinuousEngine(
                 generator, slots=continuous_slots, chunk=continuous_chunk,
                 speculate_k=continuous_spec_k,
+                spec_threshold=continuous_spec_threshold,
             )
 
         server = self
@@ -420,34 +422,19 @@ class NekoServer:
             # continuous batching serves the plain-generate class: the
             # engine's per-row traced knobs cover det/temp/top_p/stop/want;
             # top_k (static shape) and beams/speculative stay coalesced
+            # The ADAPTIVE speculative engine (--continuous_spec_k) serves
+            # the same request class: sampled rows use the per-row
+            # point-mass rejection rule inside verify rounds, and requests
+            # too long for the spec write window simply decode through
+            # plain chunks near the context end (the engine's chunk-mode
+            # policy, serving/continuous.py::_want_spec) — no extra
+            # eligibility or overflow constraints remain.
             use_cont = (
                 self._cont is not None
                 and num_beams == 1
                 and not payload.get("speculative")
                 and top_k == 0
             )
-            if use_cont and self._cont.spec_k:
-                # SPECULATIVE engine: greedy text requests only (sampled
-                # acceptance needs the per-row p/q residual chain — those
-                # take the coalescing path), and the row must reach `want`
-                # before its K+1-wide write window could cross the context
-                # end (surface overflow as a client error here, not a 500
-                # from the admission thread)
-                use_cont = (
-                    bool(payload.get("deterministic", True))
-                    and "text" in payload
-                )
-                if use_cont:
-                    pe = _example_from_payload(payload)
-                    L = len(self.gen.packer.pack_example(pe).tokens)
-                    if L + want + self._cont.spec_k + 1 > \
-                            self.gen.cfg.context_len:
-                        raise ValueError(
-                            "speculative continuous batching needs prompt "
-                            "+ max_new_tokens + K + 1 <= context "
-                            f"({L} + {want} + {self._cont.spec_k} + 1 > "
-                            f"{self.gen.cfg.context_len})"
-                        )
         else:
             action_kind = str(payload["action_kind"])
             if action_kind not in ("continuous", "discrete"):

@@ -122,8 +122,16 @@ def main():
     p.add_argument("--spec_k", type=int, default=0,
                    help="> 0: ALSO benchmark a third mode, "
                         "'continuous_spec' (--continuous_spec_k): the "
-                        "engine decodes with greedy prompt-lookup verify "
-                        "rounds")
+                        "engine decodes with ADAPTIVE prompt-lookup verify "
+                        "rounds (plain chunks below --spec_threshold)")
+    p.add_argument("--spec_threshold", type=int, default=48,
+                   help="adaptive engine: verify rounds only while some "
+                        "row wants >= this many more tokens")
+    p.add_argument("--mixed", action="store_true",
+                   help="mixed workload (VERDICT r4 #3 done criterion): "
+                        "half the requests generate max_new tokens, half "
+                        "a short burst (max_new // 8) — the adaptive "
+                        "engine must match-or-beat BOTH pure modes")
     p.add_argument("--out", type=str, default=None,
                    help="also write the JSON result to this path")
     cli = p.parse_args()
@@ -190,26 +198,38 @@ def main():
             text = [int(t) for t in corpus_ids[o : o + L]]
         else:
             text = [int(t) for t in rng.randint(1, cfg.text_tokens, L)]
-        jobs.append({
-            "text": text,
-            "max_new_tokens": int(
-                rng.randint(max(1, cli.max_new // 2), cli.max_new + 1)),
-        })
+        if cli.mixed and i % 2 == 1:
+            want = int(rng.randint(
+                max(1, cli.max_new // 16), max(2, cli.max_new // 8) + 1))
+        else:
+            want = int(
+                rng.randint(max(1, cli.max_new // 2), cli.max_new + 1))
+        jobs.append({"text": text, "max_new_tokens": want})
 
     out = {"config": "tiny" if cli.tiny else cli.config,
            "model_path": cli.model_path, "corpus": cli.corpus,
            "clients": cli.clients, "requests": cli.requests,
-           "slots": cli.slots, "chunk": cli.chunk, "spec_k": cli.spec_k}
+           "slots": cli.slots, "chunk": cli.chunk, "spec_k": cli.spec_k,
+           "mixed": cli.mixed, "spec_threshold": cli.spec_threshold}
     modes = [
         ("coalesce", dict(max_batch=cli.slots)),
         ("continuous", dict(continuous_slots=cli.slots,
                             continuous_chunk=cli.chunk)),
     ]
     if cli.spec_k > 0:
+        # 'continuous_spec_always': threshold 0 — every chunk is a verify
+        # round (the round-4 behavior; what the adaptive mode must beat on
+        # short/mixed traffic).  'continuous_spec': the adaptive default.
         modes.append(
-            ("continuous_spec", dict(continuous_slots=cli.slots,
-                                     continuous_chunk=cli.chunk,
-                                     continuous_spec_k=cli.spec_k)))
+            ("continuous_spec_always", dict(
+                continuous_slots=cli.slots, continuous_chunk=cli.chunk,
+                continuous_spec_k=cli.spec_k,
+                continuous_spec_threshold=0)))
+        modes.append(
+            ("continuous_spec", dict(
+                continuous_slots=cli.slots, continuous_chunk=cli.chunk,
+                continuous_spec_k=cli.spec_k,
+                continuous_spec_threshold=cli.spec_threshold)))
     for mode, kwargs in modes:
         gen = Generator(model, params, packer)
         with NekoServer(gen, port=0, **kwargs) as srv:
@@ -232,6 +252,16 @@ def main():
         out["spec_over_continuous"] = round(
             out["continuous_spec"]["gen_tokens_per_sec"]
             / max(out["continuous"]["gen_tokens_per_sec"], 1e-9), 3)
+        out["adaptive_over_always_spec"] = round(
+            out["continuous_spec"]["gen_tokens_per_sec"]
+            / max(out["continuous_spec_always"]["gen_tokens_per_sec"],
+                  1e-9), 3)
+        # VERDICT r4 #3 done criterion: adaptive >= max(plain, always-spec)
+        best = max(out["continuous"]["gen_tokens_per_sec"],
+                   out["continuous_spec_always"]["gen_tokens_per_sec"])
+        out["adaptive_over_best_pure"] = round(
+            out["continuous_spec"]["gen_tokens_per_sec"] / max(best, 1e-9),
+            3)
     print(json.dumps(out))
     if cli.out:
         with open(cli.out, "w") as f:
