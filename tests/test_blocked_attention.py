@@ -92,6 +92,61 @@ def test_blocked_matches_xla_exact():
         )
 
 
+@pytest.mark.skipif(
+    _on_tpu, reason="fp32-exact comparison is for interpret mode (CPU)"
+)
+def test_fused_backward_matches_three_pass(monkeypatch):
+    """The round-5 fused single-pass backward (dq+dk+dv in one banded
+    sweep, VMEM-resident accumulators) computes the SAME gradients as the
+    original three-pass scheme it replaced for S <= FUSED_MAX."""
+    import neko_tpu.ops.blocked_attention as ba
+
+    B, H, S, hd = 2, 4, 1024, 32
+    q2, k2, v2, km = _setup(B, H, S, hd)
+    start, end = mask_bounds_from_key_mask(km)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def loss(q2, k2, v2):
+        out = blocked_attention_bsd(q2, k2, v2, start, end, heads=H)
+        return ((out * w) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g_fused = jax.grad(loss, argnums=(0, 1, 2))(q2, k2, v2)
+        monkeypatch.setattr(ba, "FUSED_MAX", 0)  # force the 3-pass path
+        g_3pass = jax.grad(loss, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b in zip(g_fused, g_3pass):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.skipif(not _on_tpu, reason="needs a TPU (set NEKO_TEST_TPU=1)")
+def test_fused_backward_matches_three_pass_dropout_tpu(monkeypatch):
+    """Fused vs 3-pass backward WITH dropout on the real chip: both paths
+    slice the identical `_keep_scale_blk` PRNG stream, so the gradients
+    must agree to accumulation-order tolerance."""
+    import neko_tpu.ops.blocked_attention as ba
+
+    B, H, S, hd = 2, 4, 1024, 32
+    rate = 0.25
+    q2, k2, v2, km = _setup(B, H, S, hd, seed=11)
+    start, end = mask_bounds_from_key_mask(km)
+    seed = jnp.asarray([31], jnp.int32)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def loss(q2, k2, v2):
+        out = blocked_attention_bsd(
+            q2, k2, v2, start, end, seed, heads=H, dropout_rate=rate
+        )
+        return ((out * w) ** 2).sum()
+
+    g_fused = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q2, k2, v2)
+    monkeypatch.setattr(ba, "FUSED_MAX", 0)  # force the 3-pass path
+    g_3pass = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q2, k2, v2)
+    for a, b in zip(g_fused, g_3pass):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=2e-2 * scale)
+
+
 @pytest.mark.skipif(not _on_tpu, reason="needs a TPU (set NEKO_TEST_TPU=1)")
 def test_blocked_matches_xla_tpu():
     """Real-chip Mosaic lowering at S=2048: bf16-MXU-pass tolerances."""
