@@ -232,6 +232,7 @@ def optimizer_config_from_args(args: TrainingArgs) -> OptimizerConfig:
         ema_decay=args.ema_decay,
         pipeline_microbatches=args.pipeline_microbatches,
         pipeline_schedule=args.pipeline_schedule,
+        fused_adamw=args.fused_adamw,
     )
 
 

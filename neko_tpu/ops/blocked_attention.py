@@ -59,8 +59,11 @@ BLOCK = 512
 # fused single-pass backward cap: the kernel holds full-sequence fp32 dk/dv
 # accumulators + full bf16 k/v copies resident in VMEM per (batch, head
 # group) — ~12 MB at S=4096 (within the 16 MB scoped budget), ~24 MB at
-# S=8192 (over).  TPU-verified at 2048/4096; the three-pass scheme serves
-# longer sequences.
+# S=8192 (over).  TPU-verified: S=2048 with and without dropout, S=4096
+# without; at S=4096 WITH dropout Mosaic crashes (the per-tile PRNG mask on
+# top of the resident accumulators — runs/blocked_variants_r5_s4096.json),
+# so _vjp_bwd caps the fused path at 2048 when dropout_rate > 0 and the
+# three-pass scheme serves the rest.
 FUSED_MAX = 4096
 
 
@@ -574,7 +577,14 @@ def _vjp_bwd(heads, sm_scale, dropout_rate, res, do):
         .transpose(0, 2, 1)
         .reshape(B, heads // g, g, S)
     )
-    if S <= FUSED_MAX:
+    # Chip-measured gate (runs/blocked_variants_r5_s{2048,4096}.json): the
+    # fused kernel wins wherever it compiles — S=2048: 62.9 vs 84.1 ms/6L
+    # with dropout; S=4096 nodrop: 179 vs 266 — but at S=4096 WITH dropout
+    # the per-tile PRNG mask on top of the resident fp32 dk/dv accumulators
+    # crashes Mosaic (tpu_compile_helper exit 1), so dropout caps the fused
+    # path at 2048 and the three-pass scheme serves S=4096 there.
+    fused_cap = FUSED_MAX if dropout_rate == 0.0 else min(FUSED_MAX, 2048)
+    if S <= fused_cap:
         dq, dk, dv = _pallas_bwd_fused(
             q, k, v, do, m, l, delta, start, end, seed,
             heads, sm_scale, dropout_rate,

@@ -134,6 +134,7 @@ class TrainingArgs:
     fsdp: bool = field(default=False, metadata={"help": "ZeRO-3/FSDP: shard params, AdamW moments and the EMA shadow over the 'data' mesh axis too (parallel/sharding.py::fsdp_param_pspec); XLA emits the use-site all-gathers and gradient reduce-scatters. Cuts per-chip state memory ~data_axis-fold vs the reference's replicated DDP (train.py:26-40). Loss-identical to the replicated path (tests/test_fsdp.py)."})
     max_patches: int = field(default=-1, metadata={"help": "Static per-example image-patch budget; -1 = derive from tasks."})
     remat: bool = field(default=False, metadata={"help": "Gradient checkpointing of transformer blocks."})
+    fused_adamw: bool = field(default=False, metadata={"help": "Single-pass fused AdamW update (ops/fused_adamw.py): clip-scale, moments, bias correction, weight decay and parameter apply in one elementwise pass per leaf — same math as the optax chain to fp32 round-off (tests/test_fused_adamw.py), but the optimizer-state checkpoint layout differs, so resume must keep the flag. Ignored under --lora or gradient accumulation."})
     ema_decay: float = field(default=0.0, metadata={"help": "Exponential-moving-average of params, updated in the compiled train step (0 = off; typical 0.999-0.9999). The shadow copy rides checkpoints; evaluate with eval.py --use_ema. Capability beyond the reference."})
     seed: int = field(default=42)
     prefetch_batches: int = field(default=2, metadata={"help": "Host batches packed ahead of the device by a background thread; 0 disables."})

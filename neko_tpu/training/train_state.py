@@ -78,6 +78,25 @@ class OptimizerConfig:
     # and backward-by-rematerialization (parallel/pipeline.py::
     # pipelined_loss_1f1b).  Ignored when the mesh has no 'pipe' axis.
     pipeline_schedule: str = "gpipe"
+    # Single-pass fused AdamW (ops/fused_adamw.py): clip-scale + moment
+    # updates + bias correction + weight decay + apply in one elementwise
+    # pass per leaf — skips the optax transform-boundary `updates`
+    # materialization (chip-measured in runs/adamw_r5.json).  Same math as
+    # the optax chain to fp32 round-off (tests/test_fused_adamw.py), but the
+    # opt_state tree is FusedAdamWState — checkpoints are not interchangeable
+    # with the optax layout, so this is opt-in (--fused_adamw).  Falls back
+    # to the optax chain under --lora_only or gradient accumulation.
+    fused_adamw: bool = False
+
+
+def use_fused_adamw(cfg: OptimizerConfig) -> bool:
+    """The fused path covers the plain AdamW train step; LoRA-freeze label
+    routing and MultiSteps accumulation stay on the optax chain."""
+    return (
+        cfg.fused_adamw
+        and not cfg.lora_only
+        and cfg.gradient_accumulation_steps == 1
+    )
 
 
 def make_optimizer(cfg: OptimizerConfig) -> Tuple[optax.GradientTransformation, Callable]:
@@ -187,7 +206,12 @@ class TrainContext:
                 params = stack_pipeline_tree(
                     params, self.n_pipe, self.model_cfg.layers
                 )
-            opt_state = self.tx.init(params)
+            if use_fused_adamw(self.opt_cfg):
+                from neko_tpu.ops.fused_adamw import init_fused_adamw_state
+
+                opt_state = init_fused_adamw_state(params)
+            else:
+                opt_state = self.tx.init(params)
             ema = (
                 jax.tree.map(jnp.copy, params)
                 if self.opt_cfg.ema_decay > 0 else None
@@ -294,8 +318,25 @@ class TrainContext:
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            if use_fused_adamw(self.opt_cfg):
+                from neko_tpu.ops.fused_adamw import fused_adamw_update
+
+                oc = self.opt_cfg
+                new_params, new_opt = fused_adamw_update(
+                    state.params, grads, state.opt_state,
+                    lr=self.schedule(state.opt_state.count),
+                    b1=oc.beta_1, b2=oc.beta_2, eps=oc.adam_eps,
+                    wd=oc.weight_decay,
+                    max_norm=(
+                        None if oc.disable_grad_clip else oc.grad_norm_clip
+                    ),
+                    use_pallas=self.mesh.devices.size == 1,
+                )
+            else:
+                updates, new_opt = tx.update(
+                    grads, state.opt_state, state.params
+                )
+                new_params = optax.apply_updates(state.params, updates)
             ema = state.ema_params
             if ema is not None:
                 d = self.opt_cfg.ema_decay

@@ -214,12 +214,18 @@ def chain_fwd(call, iters):
 
 
 def chain_grad(loss_call, iters):
+    # Differentiate w.r.t. q AND k AND v: with grad(q) only, XLA
+    # dead-code-eliminates the 3-pass scheme's separate dk/dv kernel and the
+    # "backward" measurement collapses to the dq kernel alone (the fused
+    # single-pass kernel, one pallas_call, cannot be split) — the bug that
+    # made 3pass look 1.5 ms/layer faster than its own in-train trace.
+    # dk/dv fold into the carried q so nothing is DCE-able.
     def fn(q, k, v, start, end, seed):
-        g = jax.grad(loss_call)
+        g = jax.grad(loss_call, argnums=(0, 1, 2))
 
         def step(qc, _):
-            dq = g(qc, k, v, start, end, seed)
-            return (dq * 0.001).astype(qc.dtype), ()
+            dq, dk, dv = g(qc, k, v, start, end, seed)
+            return ((dq + dk + dv) * 0.001).astype(qc.dtype), ()
 
         qf, _ = jax.lax.scan(step, q, None, length=iters)
         return qf[0, 0, 0].astype(jnp.float32)
