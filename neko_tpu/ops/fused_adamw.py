@@ -1,15 +1,24 @@
 """Single-pass fused AdamW update (clip-scale + moments + bias correction +
 weight decay + parameter apply) — VERDICT r4 #6's named attack on the
-profiler's 4.8 ms `add` row.
+profiler's 4.8 ms `add` row, built and MEASURED (runs/adamw_r5.json,
+flagship 124.7M-param fp32 tree on v5e):
 
-The optax chain (clip_by_global_norm -> scale_by_adam ->
-add_decayed_weights -> scale_by_learning_rate -> apply_updates;
-train_state.py::make_optimizer) is semantically one elementwise pass per
-leaf reading (g, mu, nu, p) and writing (mu', nu', p'): 7 HBM trips of the
-leaf bytes is the traffic floor.  XLA fuses most of the chain but the
-transform boundaries materialize the intermediate `updates` tree (one extra
-read+write of every leaf = ~0.7 GB at flagship scale) and the clip's
-g*scale pass another.  This module provides the same math as ONE update:
+    optax chain 2.291 ms | jnp fused 2.280 ms | pallas fused 8.700 ms
+
+Verdict: XLA already fuses the optax transform chain into optimal per-leaf
+loop fusions — the hypothesized transform-boundary `updates`
+materialization does not survive XLA's fusion pass, so the jnp backend
+merely TIES optax, and the pallas backend LOSES 4x (per-leaf grid launches
++ (128,1024) blocks forfeit fusion with neighboring ops).  The optimizer
+update is ~2.3 ms of the ledger's 4.8 ms `add` row; the remainder is
+residual adds in the model fwd/bwd.  The attack is closed: no unclaimed
+AdamW fruit.  The module stays as the measurement record and as an opt-in
+(--fused_adamw) equivalent path with bit-matched math
+(tests/test_fused_adamw.py).
+
+The chain is semantically one elementwise pass per leaf reading
+(g, mu, nu, p) and writing (mu', nu', p'); this module provides the same
+math as ONE update:
 
   g'  = g * clip_scale
   mu' = b1*mu + (1-b1)*g'
@@ -55,7 +64,9 @@ def _interpret() -> bool:
 # beats the fusion win on biases/layernorms)
 _PALLAS_MIN = 1 << 16
 _LANES = 1024  # flattened leaves retile to (rows, 1024) fp32 (8,128)-aligned
-_ROWS_PER_BLOCK = 512  # 2 MB fp32 per operand block; 7 operands < 16 MB VMEM
+# 0.5 MB fp32 per operand block: 7 operands (4 in + 3 out) double-buffered
+# = 14 MB < the 16 MB scoped-VMEM limit (512 rows OOM'd at 28 MB on v5e)
+_ROWS_PER_BLOCK = 128
 
 
 class FusedAdamWState(NamedTuple):

@@ -108,9 +108,16 @@ def gathered_masked_xent(
     loss_pos: jnp.ndarray,  # i32 [Nt, 2] (batch_row, predicting position)
     loss_tgt: jnp.ndarray,  # i32 [Nt]
     valid_vocab: Optional[int] = None,
-    chunk_size: int = 2048,
+    chunk_size: int = 4096,
 ) -> jnp.ndarray:
     """Chunked CE evaluated ONLY at gathered target positions.
+
+    chunk_size: chip-swept r5 (runs/loss_head_r5.json, Nt=12288 fwd+bwd):
+    C=1024 24.76 / 2048 23.84 / 4096 23.61 / 12288 23.77 ms — the head's
+    dots run at what XLA gives for [Nt,V]x[V,D] regardless of chunking
+    (the 153 TF/s dx dot is shape-bound, not a chunking artifact); 4096 is
+    the flat optimum and the ledger's answer to "chase the 77%-of-peak
+    dot".
 
     In mixed multimodal batches most positions carry no loss (image patches,
     observations, separators are never targets — gato_policy.py:292,301,312,

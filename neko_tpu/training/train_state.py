@@ -330,7 +330,10 @@ class TrainContext:
                     max_norm=(
                         None if oc.disable_grad_clip else oc.grad_norm_clip
                     ),
-                    use_pallas=self.mesh.devices.size == 1,
+                    # chip-measured (runs/adamw_r5.json): the pallas backend
+                    # is 8.70 ms vs XLA's 2.29 — per-leaf grid launches lose
+                    # to XLA's loop fusion; jnp ties optax (2.28)
+                    use_pallas=False,
                 )
             else:
                 updates, new_opt = tx.update(

@@ -118,6 +118,50 @@ def test_fused_backward_matches_three_pass(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.skipif(
+    _on_tpu, reason="dispatch-structure check; interpret mode is enough"
+)
+def test_fused_gate_excludes_dropout_at_4096(monkeypatch):
+    """Chip-measured gate (runs/blocked_variants_r5_s4096.json): the fused
+    single-pass backward crashes Mosaic at S=4096 WITH dropout, so _vjp_bwd
+    must route (S=4096, dropout>0) to the three-pass scheme while keeping
+    the fused kernel for (S=4096, no dropout) and (S=2048, dropout)."""
+    import neko_tpu.ops.blocked_attention as ba
+
+    calls = []
+    real = ba._pallas_bwd_fused
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ba, "_pallas_bwd_fused", spy)
+    B, H, hd = 1, 4, 32
+    seed = jnp.asarray([5], jnp.int32)
+
+    def grad_at(S, rate):
+        D = H * hd
+        rng = np.random.RandomState(0)
+        q2 = jnp.asarray(rng.randn(B, S, D), jnp.float32)
+        start = jnp.zeros((B,), jnp.int32)
+        end = jnp.full((B,), S, jnp.int32)
+
+        def loss(q2):
+            out = blocked_attention_bsd(
+                q2, q2, q2, start, end, seed, heads=H, dropout_rate=rate
+            )
+            return (out ** 2).sum()
+
+        calls.clear()
+        jax.eval_shape(jax.grad(loss), q2)  # trace only: routing, no FLOPs
+        return bool(calls)
+
+    assert grad_at(2048, 0.1)        # fused serves S=2048 with dropout
+    assert grad_at(4096, 0.0)        # ... and S=4096 without
+    assert not grad_at(4096, 0.1)    # Mosaic-crash shape -> three-pass
+    assert not grad_at(8192, 0.0)    # beyond FUSED_MAX -> three-pass
+
+
 @pytest.mark.skipif(not _on_tpu, reason="needs a TPU (set NEKO_TEST_TPU=1)")
 def test_fused_backward_matches_three_pass_dropout_tpu(monkeypatch):
     """Fused vs 3-pass backward WITH dropout on the real chip: both paths
