@@ -56,6 +56,15 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG = -1e30
 
 BLOCK = 512
+# Forward-only q-block size (None -> BLOCK).  The fwd kernel's k/v are
+# VMEM-resident across the sequential q dim (index maps constant in qi), so
+# its floor-vs-ceiling gap is per-(Bq,Bk)-tile fixed overhead — a taller
+# fwd q-block halves the tile count at the price of computing more of the
+# causally-masked band (coarser diagonal granularity).  Dropout masks stay
+# on the (BLOCK, BLOCK) logical grid regardless (sub-tiles stacked), so
+# the backward kernels reproduce the identical PRNG stream.  Set by the
+# chip-measured dispatch below; bench override via tools/bench_blocked_variants.
+FWD_QBLOCK = None
 # fused single-pass backward cap: the kernel holds full-sequence fp32 dk/dv
 # accumulators + full bf16 k/v copies resident in VMEM per (batch, head
 # group) — ~12 MB at S=4096 (within the 16 MB scoped budget), ~24 MB at
@@ -153,11 +162,12 @@ def _fwd_kernel(
     hg = pl.program_id(1)
     qi = pl.program_id(2)
     g = q_ref.shape[-1] // hd
-    Bq = q_ref.shape[1]
+    Bq = q_ref.shape[1]          # may be a multiple of BLOCK (FWD_QBLOCK)
     S = k_ref.shape[1]
     Bk = BLOCK
-    nq = S // Bq
-    nk = S // Bk
+    nsub = Bq // BLOCK           # logical BLOCK-row sub-tiles per q block
+    nq = S // BLOCK              # dropout-mask grid stays (BLOCK, BLOCK):
+    nk = S // Bk                 # bwd kernels replay the identical stream
     start, end = start_ref[b], end_ref[b]
     r0 = qi * Bq
     for j in range(g):
@@ -175,9 +185,16 @@ def _fwd_kernel(
             p = jnp.exp(s - m_new)
             l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
             if dropout_rate > 0.0:
-                p = p * _keep_scale_blk(
-                    seed_ref[0], b, hg * g + j, qi, ki,
-                    n_heads, nq, nk, Bq, Bk, dropout_rate,
+                keep = [
+                    _keep_scale_blk(
+                        seed_ref[0], b, hg * g + j, qi * nsub + r, ki,
+                        n_heads, nq, nk, BLOCK, Bk, dropout_rate,
+                    )
+                    for r in range(nsub)
+                ]
+                p = p * (
+                    keep[0] if nsub == 1
+                    else jnp.concatenate(keep, axis=0)
                 )
             acc = acc * alpha + _dotf(p.astype(q.dtype), v_blk)
             return m_new, l, acc
@@ -187,8 +204,8 @@ def _fwd_kernel(
             jnp.zeros((Bq, 1), jnp.float32),
             jnp.zeros((Bq, hd), jnp.float32),
         )
-        # causal: q block qi only sees k blocks 0..qi (Bq == Bk)
-        m, l, acc = jax.lax.fori_loop(0, qi + 1, body, init)
+        # causal: rows [r0, r0+Bq) see k blocks 0 .. (r0+Bq)/Bk - 1
+        m, l, acc = jax.lax.fori_loop(0, (qi + 1) * (Bq // Bk), body, init)
         o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
         m_ref[0, 0, j] = m[:, 0]
         l_ref[0, 0, j] = l[:, 0]
@@ -421,7 +438,7 @@ def _pallas_fwd(q, k, v, start, end, seed, heads, sm_scale, dropout_rate):
     B, S, D = q.shape
     hd = D // heads
     g = head_group(heads, hd)
-    Bq = BLOCK
+    Bq = FWD_QBLOCK if (FWD_QBLOCK and S % FWD_QBLOCK == 0) else BLOCK
     blk, full, stat_blk, _ = _grid_specs(B, S, D, hd, g, Bq)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

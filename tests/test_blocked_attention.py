@@ -119,6 +119,37 @@ def test_fused_backward_matches_three_pass(monkeypatch):
 
 
 @pytest.mark.skipif(
+    _on_tpu, reason="fp32-exact comparison is for interpret mode (CPU)"
+)
+def test_tall_fwd_qblock_bit_exact(monkeypatch):
+    """FWD_QBLOCK = 2*BLOCK (taller fwd q tiles, fewer per-tile overheads)
+    must be BIT-identical to the default: blocking along q never changes a
+    row's online-softmax accumulation order, and the bwd kernels are
+    untouched.  (Dropout-stream parity is chip-tested:
+    test_attention_tpu.py exercises the logical-(BLOCK,BLOCK) mask grid.)"""
+    import neko_tpu.ops.blocked_attention as ba
+
+    B, H, S, hd = 2, 4, 2048, 32
+    q2, k2, v2, km = _setup(B, H, S, hd, seed=3)
+    start, end = mask_bounds_from_key_mask(km)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def loss(q2, k2, v2):
+        out = blocked_attention_bsd(q2, k2, v2, start, end, heads=H)
+        return ((out * w) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        a = blocked_attention_bsd(q2, k2, v2, start, end, heads=H)
+        ga = jax.grad(loss, argnums=(0, 1, 2))(q2, k2, v2)
+        monkeypatch.setattr(ba, "FWD_QBLOCK", 1024)
+        b = blocked_attention_bsd(q2, k2, v2, start, end, heads=H)
+        gb = jax.grad(loss, argnums=(0, 1, 2))(q2, k2, v2)
+    assert float(jnp.max(jnp.abs((a - b) * w))) == 0.0
+    for x, y in zip(ga, gb):
+        assert float(jnp.max(jnp.abs(x - y))) == 0.0
+
+
+@pytest.mark.skipif(
     _on_tpu, reason="dispatch-structure check; interpret mode is enough"
 )
 def test_fused_gate_excludes_dropout_at_4096(monkeypatch):
@@ -189,6 +220,44 @@ def test_fused_backward_matches_three_pass_dropout_tpu(monkeypatch):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = max(np.abs(b).max(), 1.0)
         np.testing.assert_allclose(a, b, atol=2e-2 * scale)
+
+
+@pytest.mark.skipif(not _on_tpu, reason="needs a TPU (set NEKO_TEST_TPU=1)")
+def test_tall_fwd_qblock_dropout_stream_tpu(monkeypatch):
+    """FWD_QBLOCK with dropout on the real chip: the tall fwd block builds
+    its keep mask from stacked (BLOCK, BLOCK) logical tiles, so its output
+    must EQUAL the default fwd (identical PRNG stream), and the backward
+    (which regenerates per-(BLOCK,BLOCK) masks independently) must match
+    the default path's gradients."""
+    import neko_tpu.ops.blocked_attention as ba
+
+    B, H, S, hd = 2, 4, 2048, 32
+    rate = 0.2
+    q2, k2, v2, km = _setup(B, H, S, hd, seed=17)
+    start, end = mask_bounds_from_key_mask(km)
+    seed = jnp.asarray([23], jnp.int32)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def fwd(q2):
+        return blocked_attention_bsd(
+            q2, k2, v2, start, end, seed, heads=H, dropout_rate=rate
+        )
+
+    def loss(q2):
+        return ((fwd(q2) * w) ** 2).sum()
+
+    a = jax.jit(fwd)(q2)
+    ga = jax.jit(jax.grad(loss))(q2)
+    monkeypatch.setattr(ba, "FWD_QBLOCK", 1024)
+    b = jax.jit(fwd)(q2)
+    gb = jax.jit(jax.grad(loss))(q2)
+    np.testing.assert_allclose(
+        np.asarray(a * w), np.asarray(b * w), atol=1e-6
+    )
+    sc = max(np.abs(np.asarray(ga)).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(ga), np.asarray(gb), atol=1e-4 * sc
+    )
 
 
 @pytest.mark.skipif(not _on_tpu, reason="needs a TPU (set NEKO_TEST_TPU=1)")

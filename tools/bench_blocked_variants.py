@@ -284,9 +284,11 @@ def main():
                     "results": results,
                 }, f, indent=1)
 
-    def run_variant(name, block, dropout, fused):
+    def run_variant(name, block, dropout, fused, fwd_qblock=None):
         old_block, old_fused = ba.BLOCK, ba.FUSED_MAX
+        old_qb = ba.FWD_QBLOCK
         ba.BLOCK = block
+        ba.FWD_QBLOCK = fwd_qblock
         ba.FUSED_MAX = ba.FUSED_MAX if fused else 0
         try:
             rate = 0.1 if dropout else 0.0
@@ -306,6 +308,7 @@ def main():
             return fwd, both
         finally:
             ba.BLOCK, ba.FUSED_MAX = old_block, old_fused
+            ba.FWD_QBLOCK = old_qb
 
     for variant in args.variants:
         try:
@@ -338,6 +341,12 @@ def main():
                 fwd, both = run_variant(variant, 512, True, False)
             elif variant == "nodrop":
                 fwd, both = run_variant(variant, 512, False, True)
+            elif variant.startswith("qb"):
+                # taller FWD-only q block (bwd kernels stay at BLOCK);
+                # dropout masks stay on the (BLOCK, BLOCK) logical grid
+                fwd, both = run_variant(
+                    variant, 512, True, True, fwd_qblock=int(variant[2:])
+                )
             elif variant.startswith("blk"):
                 fwd, both = run_variant(variant, int(variant[3:]), True, True)
             else:
