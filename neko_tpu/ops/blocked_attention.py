@@ -62,8 +62,12 @@ BLOCK = 512
 # fwd q-block halves the tile count at the price of computing more of the
 # causally-masked band (coarser diagonal granularity).  Dropout masks stay
 # on the (BLOCK, BLOCK) logical grid regardless (sub-tiles stacked), so
-# the backward kernels reproduce the identical PRNG stream.  Set by the
-# chip-measured dispatch below; bench override via tools/bench_blocked_variants.
+# the backward kernels reproduce the identical PRNG stream.  MEASURED A
+# LOSS on chip (runs/blocked_qb_r5_s2048.json): qb1024 fwd 5.69 vs prod
+# 5.08 ms/layer — the coarser diagonal's extra in-band FLOPs cost more
+# than the per-tile overhead saved — and qb2048 fails Mosaic compile.
+# Stays None in production; kept (bit-exact, tested) as the recorded
+# rejection.  Bench override via tools/bench_blocked_variants.
 FWD_QBLOCK = None
 # fused single-pass backward cap: the kernel holds full-sequence fp32 dk/dv
 # accumulators + full bf16 k/v copies resident in VMEM per (batch, head
