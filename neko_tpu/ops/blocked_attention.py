@@ -73,11 +73,16 @@ FWD_QBLOCK = None
 # accumulators + full bf16 k/v copies resident in VMEM per (batch, head
 # group) — ~12 MB at S=4096 (within the 16 MB scoped budget), ~24 MB at
 # S=8192 (over).  TPU-verified: S=2048 with and without dropout, S=4096
-# without; at S=4096 WITH dropout Mosaic crashes (the per-tile PRNG mask on
-# top of the resident accumulators — runs/blocked_variants_r5_s4096.json),
-# so _vjp_bwd caps the fused path at 2048 when dropout_rate > 0 and the
-# three-pass scheme serves the rest.
+# both ways — WITH dropout the full-tile kernel overflowed scoped VMEM
+# (Mosaic crash, runs/blocked_variants_r5_s4096.json); the q-row
+# sub-tiled variant (q_sub=2 below) halves the fp32 tile temporaries,
+# replays the identical PRNG stream, and serves that shape.
 FUSED_MAX = 4096
+# q-row sub-tiling threshold for the fused backward under dropout (tests
+# lower it to force the sub-tiled path at interpret-mode shapes); FUSED_QSUB
+# overrides the automatic choice outright (tests/bench)
+FUSED_QSUB_MIN_S = 4096
+FUSED_QSUB = None
 
 
 def _interpret() -> bool:
@@ -126,6 +131,24 @@ def _block_scores(q, k_blk, r0, c0, start, end, sm_scale):
     cols = _iota2(Bq, Bk, 1) + c0
     ok = (cols <= rows) & (cols >= start) & (cols < end)
     return jnp.where(ok, s, _NEG)
+
+
+def _keep_scale_rows(seed, b, h, qi, ki, n_heads, nq, nk, Bk, row0, rows,
+                     dropout_rate):
+    """Rows [row0, row0+rows) of the logical (BLOCK, Bk) mask tile.
+
+    The PRNG stream is per logical tile (seeded by (b, h, qi, ki)), so a
+    kernel that sub-tiles the q rows must draw the FULL tile's bits and
+    slice — row0/rows static — to replay the exact bits the forward
+    applied.  The wasted draw is one u32 word per 4 masked-out entries
+    (PRNG measured at 0.07 ms/step on the whole flagship mask load)."""
+    blk_id = ((b * n_heads + h) * nq + qi) * nk + ki
+    pltpu.prng_seed(seed, blk_id)
+    q8 = min(int(round(dropout_rate * 256)), 255)
+    bits = pltpu.bitcast(pltpu.prng_random_bits((BLOCK // 4, Bk)), jnp.uint8)
+    sub = bits[row0:row0 + rows, :]
+    keep = (sub.astype(jnp.int32) >= q8).astype(jnp.float32)
+    return keep * (1.0 / (1.0 - q8 / 256.0))
 
 
 def _keep_scale_blk(seed, b, h, qi, ki, n_heads, nq, nk, Bq, Bk, dropout_rate):
@@ -267,7 +290,7 @@ def _dq_kernel(
 def _bwd_fused_kernel(
     start_ref, end_ref, seed_ref, q_ref, k_ref, v_ref, do_ref,
     m_ref, l_ref, delta_ref, dq_ref, dk_ref, dv_ref,
-    *, sm_scale, dropout_rate, hd, n_heads,
+    *, sm_scale, dropout_rate, hd, n_heads, q_sub=1,
 ):
     """Single banded sweep producing dq, dk, dv.
 
@@ -275,7 +298,16 @@ def _bwd_fused_kernel(
     map to the same full-sequence block for every qi, so they accumulate
     in VMEM across the sweep (zeroed at qi == 0) and each (qi, ki) tile
     computes s/p/dp once.  Accumulators are fp32 (bf16 accumulation across
-    up to nq partial sums would lose gradient bits); the caller casts."""
+    up to nq partial sums would lose gradient bits); the caller casts.
+
+    q_sub > 1 processes each (Bq, Bk) tile as q_sub static row sub-tiles:
+    every fp32 temporary (s/p/dp/ds/mask) shrinks to (Bq/q_sub, Bk), which
+    is what fits S=4096 + dropout under the scoped-VMEM budget on top of
+    the resident fp32 dk/dv accumulators.  The dropout stream stays on the
+    logical (BLOCK, Bk) tile grid (_keep_scale_rows draws the full tile
+    and slices statically), so forward and backward replay identical
+    bits; the fori_loop trip count is unchanged (the sub-tiles of the
+    diagonal tile pay the same masked-half FLOPs the full tile did)."""
     b = pl.program_id(0)
     hg = pl.program_id(1)
     qi = pl.program_id(2)
@@ -285,8 +317,9 @@ def _bwd_fused_kernel(
     Bk = BLOCK
     nq = S // Bq
     nk = S // Bk
+    assert Bq % q_sub == 0
+    Bs = Bq // q_sub
     start, end = start_ref[b], end_ref[b]
-    r0 = qi * Bq
 
     @pl.when(qi == 0)
     def _init():
@@ -295,53 +328,63 @@ def _bwd_fused_kernel(
 
     for j in range(g):
         sl = slice(j * hd, (j + 1) * hd)
-        q = q_ref[0, :, sl]
-        do = do_ref[0, :, sl]
-        m = m_ref[0, 0, j][:, None]
-        l = l_ref[0, 0, j][:, None]
-        delta = delta_ref[0, 0, j][:, None]
+        for hh in range(q_sub):
+            qsl = slice(hh * Bs, (hh + 1) * Bs)
+            q = q_ref[0, qsl, sl]
+            do = do_ref[0, qsl, sl]
+            m = m_ref[0, 0, j][qsl][:, None]
+            l = l_ref[0, 0, j][qsl][:, None]
+            delta = delta_ref[0, 0, j][qsl][:, None]
+            r0 = qi * Bq + hh * Bs
 
-        def body(ki, dq):
-            c0 = ki * Bk
-            k_blk = k_ref[0, pl.ds(c0, Bk), sl]
-            v_blk = v_ref[0, pl.ds(c0, Bk), sl]
-            s = _block_scores(q, k_blk, r0, c0, start, end, sm_scale)
-            p = jnp.exp(s - m) / l
-            dp = jax.lax.dot_general(
-                do, v_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            if dropout_rate > 0.0:
-                ks = _keep_scale_blk(
-                    seed_ref[0], b, hg * g + j, qi, ki,
-                    n_heads, nq, nk, Bq, Bk, dropout_rate,
+            def body(ki, dq):
+                c0 = ki * Bk
+                k_blk = k_ref[0, pl.ds(c0, Bk), sl]
+                v_blk = v_ref[0, pl.ds(c0, Bk), sl]
+                s = _block_scores(q, k_blk, r0, c0, start, end, sm_scale)
+                p = jnp.exp(s - m) / l
+                dp = jax.lax.dot_general(
+                    do, v_blk, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
                 )
-                y = p * ks
-                dp = dp * ks
-            else:
-                y = p
-            ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
-            dv_ref[0, pl.ds(c0, Bk), sl] = dv_ref[
-                0, pl.ds(c0, Bk), sl
-            ] + jax.lax.dot_general(
-                y.astype(q.dtype), do, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            dk_ref[0, pl.ds(c0, Bk), sl] = dk_ref[
-                0, pl.ds(c0, Bk), sl
-            ] + jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            return dq + _dotf(ds, k_blk)
+                if dropout_rate > 0.0:
+                    if q_sub == 1:
+                        ks = _keep_scale_blk(
+                            seed_ref[0], b, hg * g + j, qi, ki,
+                            n_heads, nq, nk, Bq, Bk, dropout_rate,
+                        )
+                    else:
+                        ks = _keep_scale_rows(
+                            seed_ref[0], b, hg * g + j, qi, ki,
+                            n_heads, nq, nk, Bk, hh * Bs, Bs,
+                            dropout_rate,
+                        )
+                    y = p * ks
+                    dp = dp * ks
+                else:
+                    y = p
+                ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+                dv_ref[0, pl.ds(c0, Bk), sl] = dv_ref[
+                    0, pl.ds(c0, Bk), sl
+                ] + jax.lax.dot_general(
+                    y.astype(q.dtype), do, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                dk_ref[0, pl.ds(c0, Bk), sl] = dk_ref[
+                    0, pl.ds(c0, Bk), sl
+                ] + jax.lax.dot_general(
+                    ds, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                return dq + _dotf(ds, k_blk)
 
-        dq = jax.lax.fori_loop(
-            0, qi + 1, body, jnp.zeros((Bq, hd), jnp.float32)
-        )
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+            dq = jax.lax.fori_loop(
+                0, qi + 1, body, jnp.zeros((Bs, hd), jnp.float32)
+            )
+            dq_ref[0, qsl, sl] = dq.astype(dq_ref.dtype)
 
 
 def _dkv_kernel(
@@ -519,10 +562,18 @@ def _pallas_bwd_fused(q, k, v, do, m, l, delta, start, end, seed,
         in_specs=[blk, full, full, blk, stat_blk, stat_blk, stat_blk],
         out_specs=[blk, acc_full, acc_full],
     )
+    # S=4096 + dropout: the full-tile fp32 temporaries (s/p/dp/mask at
+    # (512, 512)) on top of the 8 MB of resident accumulators + k/v copies
+    # overflow scoped VMEM (Mosaic compile crash,
+    # runs/blocked_variants_r5_s4096.json) — sub-tile the q rows so the
+    # temporaries halve while the dropout stream stays bit-identical
+    q_sub = FUSED_QSUB or (
+        2 if (dropout_rate > 0.0 and S >= FUSED_QSUB_MIN_S) else 1
+    )
     dq, dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_fused_kernel, sm_scale=sm_scale, dropout_rate=dropout_rate,
-            hd=hd, n_heads=heads,
+            hd=hd, n_heads=heads, q_sub=q_sub,
         ),
         grid_spec=grid_spec,
         out_shape=[
@@ -600,12 +651,15 @@ def _vjp_bwd(heads, sm_scale, dropout_rate, res, do):
     )
     # Chip-measured gate (runs/blocked_variants_r5_s{2048,4096}.json): the
     # fused kernel wins wherever it compiles — S=2048: 62.9 vs 84.1 ms/6L
-    # with dropout; S=4096 nodrop: 179 vs 266 — but at S=4096 WITH dropout
-    # the per-tile PRNG mask on top of the resident fp32 dk/dv accumulators
-    # crashes Mosaic (tpu_compile_helper exit 1), so dropout caps the fused
-    # path at 2048 and the three-pass scheme serves S=4096 there.
-    fused_cap = FUSED_MAX if dropout_rate == 0.0 else min(FUSED_MAX, 2048)
-    if S <= fused_cap:
+    # with dropout; S=4096 nodrop: 179 vs 266.  At S=4096 WITH dropout the
+    # full-tile kernel crashed Mosaic (fp32 temporaries + PRNG mask on top
+    # of the resident accumulators overflow scoped VMEM); the q-row
+    # sub-tiled variant (_pallas_bwd_fused q_sub=2, identical PRNG stream
+    # by full-tile draw + static row slice) fits and serves that shape —
+    # chip-verified compile/run + 3-pass gradient parity
+    # (tests/test_blocked_attention.py::test_fused_qsub_dropout_tpu) and
+    # measured faster (runs/blocked_variants_r5_s4096_qsub.json).
+    if S <= FUSED_MAX:
         dq, dk, dv = _pallas_bwd_fused(
             q, k, v, do, m, l, delta, start, end, seed,
             heads, sm_scale, dropout_rate,

@@ -152,11 +152,11 @@ def test_tall_fwd_qblock_bit_exact(monkeypatch):
 @pytest.mark.skipif(
     _on_tpu, reason="dispatch-structure check; interpret mode is enough"
 )
-def test_fused_gate_excludes_dropout_at_4096(monkeypatch):
-    """Chip-measured gate (runs/blocked_variants_r5_s4096.json): the fused
-    single-pass backward crashes Mosaic at S=4096 WITH dropout, so _vjp_bwd
-    must route (S=4096, dropout>0) to the three-pass scheme while keeping
-    the fused kernel for (S=4096, no dropout) and (S=2048, dropout)."""
+def test_fused_gate_serves_all_shapes_to_cap(monkeypatch):
+    """Dispatch structure: the fused backward serves every S <= FUSED_MAX
+    including S=4096 + dropout (the q-row sub-tiled variant fixed the
+    round-5 Mosaic VMEM crash — runs/blocked_variants_r5_s4096_qsub.json);
+    beyond FUSED_MAX the three-pass scheme takes over."""
     import neko_tpu.ops.blocked_attention as ba
 
     calls = []
@@ -189,7 +189,7 @@ def test_fused_gate_excludes_dropout_at_4096(monkeypatch):
 
     assert grad_at(2048, 0.1)        # fused serves S=2048 with dropout
     assert grad_at(4096, 0.0)        # ... and S=4096 without
-    assert not grad_at(4096, 0.1)    # Mosaic-crash shape -> three-pass
+    assert grad_at(4096, 0.1)        # ... and S=4096 WITH (q_sub=2)
     assert not grad_at(8192, 0.0)    # beyond FUSED_MAX -> three-pass
 
 
@@ -217,6 +217,68 @@ def test_fused_backward_matches_three_pass_dropout_tpu(monkeypatch):
     monkeypatch.setattr(ba, "FUSED_MAX", 0)  # force the 3-pass path
     g_3pass = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q2, k2, v2)
     for a, b in zip(g_fused, g_3pass):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1.0)
+        np.testing.assert_allclose(a, b, atol=2e-2 * scale)
+
+
+@pytest.mark.skipif(
+    _on_tpu, reason="fp32-exact comparison is for interpret mode (CPU)"
+)
+def test_fused_backward_qsub_structure(monkeypatch):
+    """q-row sub-tiling of the fused backward (q_sub=2, the S=4096+dropout
+    VMEM workaround) restructures every (Bq, Bk) tile into two half-row
+    sweeps; without dropout the math per row is identical, so gradients
+    must match the full-tile fused path to fp32 accumulation-order
+    tolerance.  (The dropout mask slice is chip-tested:
+    test_fused_qsub_dropout_tpu — pltpu PRNG has no interpret mode.)"""
+    import neko_tpu.ops.blocked_attention as ba
+
+    B, H, S, hd = 2, 4, 1024, 32
+    q2, k2, v2, km = _setup(B, H, S, hd, seed=7)
+    start, end = mask_bounds_from_key_mask(km)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def loss(q2, k2, v2):
+        out = blocked_attention_bsd(q2, k2, v2, start, end, heads=H)
+        return ((out * w) ** 2).sum()
+
+    with jax.default_matmul_precision("highest"):
+        g_full = jax.grad(loss, argnums=(0, 1, 2))(q2, k2, v2)
+        monkeypatch.setattr(ba, "FUSED_QSUB", 2)
+        g_sub = jax.grad(loss, argnums=(0, 1, 2))(q2, k2, v2)
+    for a, b in zip(g_full, g_sub):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.skipif(not _on_tpu, reason="needs a TPU (set NEKO_TEST_TPU=1)")
+def test_fused_qsub_dropout_tpu(monkeypatch):
+    """The sub-tiled fused backward under dropout slices each logical
+    (BLOCK, Bk) mask tile by rows (_keep_scale_rows draws the full tile's
+    PRNG stream and slices statically), so its gradients must match the
+    three-pass scheme — which regenerates the same per-tile masks — to
+    accumulation-order tolerance."""
+    import neko_tpu.ops.blocked_attention as ba
+
+    B, H, S, hd = 2, 4, 1024, 32
+    rate = 0.25
+    q2, k2, v2, km = _setup(B, H, S, hd, seed=13)
+    start, end = mask_bounds_from_key_mask(km)
+    seed = jnp.asarray([37], jnp.int32)
+    w = km[:, :, None].astype(jnp.float32)
+
+    def loss(q2, k2, v2):
+        out = blocked_attention_bsd(
+            q2, k2, v2, start, end, seed, heads=H, dropout_rate=rate
+        )
+        return ((out * w) ** 2).sum()
+
+    monkeypatch.setattr(ba, "FUSED_QSUB", 2)
+    g_sub = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q2, k2, v2)
+    monkeypatch.setattr(ba, "FUSED_QSUB", None)
+    monkeypatch.setattr(ba, "FUSED_MAX", 0)  # force the 3-pass path
+    g_3pass = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q2, k2, v2)
+    for a, b in zip(g_sub, g_3pass):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
         scale = max(np.abs(b).max(), 1.0)
         np.testing.assert_allclose(a, b, atol=2e-2 * scale)
