@@ -161,6 +161,11 @@ CONFIGS = {
     "long": dict(
         embed_dim=768, layers=6, heads=24, batch_per_chip=8, context_len=2048
     ),
+    # k=4096: the shape whose fused backward + dropout needed the round-5
+    # q-row sub-tiling fix (blocked_attention.py::_pallas_bwd_fused q_sub=2)
+    "long4k": dict(
+        embed_dim=768, layers=6, heads=24, batch_per_chip=4, context_len=4096
+    ),
 }
 
 
