@@ -284,11 +284,12 @@ def main():
                     "results": results,
                 }, f, indent=1)
 
-    def run_variant(name, block, dropout, fused, fwd_qblock=None):
+    def run_variant(name, block, dropout, fused, fwd_qblock=None, qsub=None):
         old_block, old_fused = ba.BLOCK, ba.FUSED_MAX
-        old_qb = ba.FWD_QBLOCK
+        old_qb, old_qsub = ba.FWD_QBLOCK, ba.FUSED_QSUB
         ba.BLOCK = block
         ba.FWD_QBLOCK = fwd_qblock
+        ba.FUSED_QSUB = qsub
         ba.FUSED_MAX = ba.FUSED_MAX if fused else 0
         try:
             rate = 0.1 if dropout else 0.0
@@ -308,7 +309,7 @@ def main():
             return fwd, both
         finally:
             ba.BLOCK, ba.FUSED_MAX = old_block, old_fused
-            ba.FWD_QBLOCK = old_qb
+            ba.FWD_QBLOCK, ba.FUSED_QSUB = old_qb, old_qsub
 
     for variant in args.variants:
         try:
@@ -341,6 +342,13 @@ def main():
                 fwd, both = run_variant(variant, 512, True, False)
             elif variant == "nodrop":
                 fwd, both = run_variant(variant, 512, False, True)
+            elif variant.startswith("qsub"):
+                # q-row sub-tiled fused backward (the S=4096+dropout VMEM
+                # fix) forced on at this S: smaller fp32 tile temporaries
+                # vs more, smaller VPU/MXU ops
+                fwd, both = run_variant(
+                    variant, 512, True, True, qsub=int(variant[4:])
+                )
             elif variant.startswith("qb"):
                 # taller FWD-only q block (bwd kernels stay at BLOCK);
                 # dropout masks stay on the (BLOCK, BLOCK) logical grid
